@@ -1,0 +1,87 @@
+"""Engine shell: init -> frame loop -> shutdown (headless).
+
+Counterpart of src/main.c:27-111's frame loop, minus window/input/audio/UI
+(non-goals per SURVEY.md §7).  Frame order mirrors the reference: time ->
+command queue -> render -> profiler; `quit` (or the queue draining in batch
+mode) ends the loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pim_tpu.core import cvars  # noqa: F401 — registers the engine cvars
+from pim_tpu.core.cmd import get_cmd_system
+from pim_tpu.core.console import LogSev, con_logf, get_console
+from pim_tpu.core.profiler import get_profiler, profile
+from pim_tpu.core.timesys import get_timesys
+from pim_tpu.render.render_system import RenderSystem
+
+
+@dataclass
+class Engine:
+    width: int = 256
+    height: int = 256
+    max_frames: Optional[int] = None
+
+    render: RenderSystem = None
+    frame: int = 0
+
+    def init(self) -> None:
+        from pim_tpu.core.cvars import cv_con_logpath
+
+        if cv_con_logpath.get():
+            get_console().set_log_path(cv_con_logpath.get())
+        self.render = RenderSystem(width=self.width, height=self.height)
+        self.render.init()
+        con_logf(LogSev.Info, "app", "pim_tpu engine initialized (%dx%d)",
+                 self.width, self.height)
+
+    def update(self) -> None:
+        ts = get_timesys()
+        ts.update()
+        cmds = get_cmd_system()
+        with profile("cmd"):
+            cmds.update()
+        with profile("render"):
+            self.render.update()
+        self.frame += 1
+
+    def run(self, script: Optional[str] = None) -> None:
+        """Batch mode: enqueue a script, loop until quit or queue drained."""
+        cmds = get_cmd_system()
+        if script:
+            cmds.enqueue(script)
+        while not cmds.quit_requested:
+            self.update()
+            if self.max_frames is not None and self.frame >= self.max_frames:
+                break
+            if not cmds.pending() and script is not None:
+                break
+
+    def shutdown(self) -> None:
+        prof = get_profiler()
+        if prof.stats:
+            con_logf(LogSev.Verbose, "prof", "\n%s", prof.report())
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="pim_tpu headless engine")
+    parser.add_argument("--exec", dest="script", default=None,
+                        help="command script to run (e.g. 'pt_test -frames 64')")
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--frames", type=int, default=None)
+    args = parser.parse_args()
+
+    engine = Engine(width=args.width, height=args.height, max_frames=args.frames)
+    engine.init()
+    engine.run(args.script)
+    engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()

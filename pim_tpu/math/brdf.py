@@ -135,31 +135,39 @@ class BrdfLut(NamedTuple):
 
 
 def _integrate_brdf(nov, alpha, num_samples: int):
-    """Karis split-sum integration for one (NoV, alpha) texel."""
-    v = jnp.stack([jnp.sqrt(1.0 - nov * nov), jnp.float32(0.0), nov])
+    """Split-sum integration for one (NoV, alpha) texel.
+
+    Matches the reference integrand (src/math/lighting.c:58-81):
+      x = ∫ Fc · D·V·NoL   with Fc = dielectric fresnel (air->glass)
+      y = ∫ D·V·NoL
+    under GGX half-vector importance sampling (D/pdf = 4·HoV/NoH).
+    """
+    v = jnp.stack([jnp.sqrt(jnp.maximum(1.0 - nov * nov, 0.0)), jnp.float32(0.0), nov])
     i = jnp.arange(num_samples, dtype=jnp.uint32)
     xi = hammersley_2d(i, num_samples)  # [S, 2]
     m = sample_ggx_microfacet(xi, alpha)  # [S, 3] tangent space, N=+Z
     # L = reflect(-V, m)
     l = 2.0 * jnp.sum(v * m, axis=-1, keepdims=True) * m - v
-    nol = saturate(l[..., 2])
+    nol = l[..., 2]
     noh = saturate(m[..., 2])
-    voh = saturate(jnp.sum(v * m, axis=-1))
-    valid = nol > 0.0
-    g = v_smith_correlated(nol, jnp.maximum(nov, EPS), alpha)
-    # pdf of GGX half-vector sampling folded in: D cancels, standard split-sum
+    voh = jnp.sum(v * m, axis=-1)
+    valid = nol > EPS
+    g = v_smith_correlated(jnp.maximum(nol, 0.0), jnp.maximum(nov, EPS), alpha)
     g_vis = jnp.where(valid, (g * voh * nol * 4.0) / jnp.maximum(noh, EPS), 0.0)
-    fc = (1.0 - voh) ** 5
-    a = jnp.sum((1.0 - fc) * g_vis)
-    b = jnp.sum(fc * g_vis)
+    fc = f_dielectric(voh, jnp.float32(1.000293), jnp.float32(1.52))
+    a = jnp.sum(fc * g_vis)
+    b = jnp.sum(g_vis)
     n = jnp.float32(num_samples)
     return jnp.stack([a / n, b / n])
 
 
 def bake_brdf_lut(size: int = 32, num_samples: int = 1024) -> BrdfLut:
-    """Bake the full split-sum LUT (axes: NoV in x, alpha in y)."""
-    nov = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
-    alpha = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    """Bake the full split-sum LUT (axes: NoV in x, alpha in y).
+
+    Texel i sits at coordinate i/(size-1) to match the bilinear fetch
+    convention (sampler.h LinearClamp: x = sat(u)*(size-1))."""
+    nov = jnp.clip(jnp.arange(size, dtype=jnp.float32) / (size - 1), EPS, 1.0 - EPS)
+    alpha = jnp.clip(jnp.arange(size, dtype=jnp.float32) / (size - 1), K_MIN_ALPHA, 1.0)
     fn = jax.vmap(jax.vmap(lambda a, n: _integrate_brdf(n, a, num_samples), (None, 0)), (0, None))
     texels = fn(alpha, nov)  # [alpha, nov, 2]
     return BrdfLut(texels=jnp.swapaxes(texels, 0, 1))  # [nov, alpha, 2]

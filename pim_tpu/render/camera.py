@@ -114,7 +114,8 @@ class Camera:
         self.rotation = quat_lookat(rd, np.array([0.0, 1.0, 0.0]))
 
 
-class DofInfo(NamedTuple):
+@dataclass
+class DofInfo:
     """Thin-lens depth of field (ref PtDofInfo, path_tracer.c:1141-1153)."""
 
     aperture: float = 5.0e-3
@@ -138,20 +139,48 @@ def proj_dir(right, up, fwd, slope, coord):
     return normalize(fwd + right * x + up * y)
 
 
-def generate_primary_rays(camera: Camera, dof: DofInfo, width: int, height: int,
-                          state, enable_dof: bool = True):
+class CameraArrays(NamedTuple):
+    """Device-side camera basis — traced values so camera motion does not
+    recompile the frame step."""
+
+    eye: jnp.ndarray     # [3]
+    right: jnp.ndarray   # [3]
+    up: jnp.ndarray      # [3]
+    fwd: jnp.ndarray     # [3]
+    slope: jnp.ndarray   # [2]
+    aperture: jnp.ndarray        # scalar
+    focal_length: jnp.ndarray    # scalar (autofocus-adapted state)
+    focal_curvature: jnp.ndarray  # scalar
+
+
+def camera_arrays(camera: Camera, dof: DofInfo, width: int, height: int,
+                  focal_length=None) -> CameraArrays:
+    right, up, fwd = camera.basis()
+    slope = proj_slope(float(np.radians(camera.fov_y)), width / height)
+    return CameraArrays(
+        eye=jnp.asarray(camera.position),
+        right=jnp.asarray(right),
+        up=jnp.asarray(up),
+        fwd=jnp.asarray(fwd),
+        slope=jnp.asarray(slope, jnp.float32),
+        aperture=jnp.float32(dof.aperture),
+        focal_length=(
+            jnp.float32(dof.focal_length) if focal_length is None
+            else jnp.asarray(focal_length, jnp.float32)
+        ),
+        focal_curvature=jnp.float32(dof.focal_plane_curvature),
+    )
+
+
+def generate_primary_rays(cam: CameraArrays, width: int, height: int,
+                          state, blade_count: int = 5,
+                          blade_rot: float = float(np.pi / 10.0),
+                          enable_dof: bool = True):
     """Per-pixel primary rays with gaussian AA jitter + bokeh DoF.
 
     Replicates TraceFn's raygen (path_tracer.c:2539-2548).  `state` is a
     [N, 4] rng state (N = width*height); returns (state, ro [N,3], rd [N,3]).
     """
-    right, up, fwd = camera.basis()
-    right = jnp.asarray(right)
-    up = jnp.asarray(up)
-    fwd = jnp.asarray(fwd)
-    eye = jnp.asarray(camera.position)
-    slope = proj_slope(float(np.radians(camera.fov_y)), width / height)
-
     n = width * height
     i = jnp.arange(n, dtype=jnp.int32)
     cx = (i % width).astype(jnp.float32)
@@ -163,24 +192,24 @@ def generate_primary_rays(camera: Camera, dof: DofInfo, width: int, height: int,
     aa = sample_gauss_pixel_filter(xi_aa, 1.0)
     uv = base_uv + aa * rcp
     coord = uv * 2.0 - 1.0  # f2_snorm
-    rd = proj_dir(right, up, fwd, slope, coord)
-    ro = jnp.broadcast_to(eye, rd.shape)
+    rd = proj_dir(cam.right, cam.up, cam.fwd, (cam.slope[0], cam.slope[1]), coord)
+    ro = jnp.broadcast_to(cam.eye, rd.shape)
 
     if enable_dof:
         state, side = rng.next_u32(state)
         state, xi = rng.next_f32x2(state)
-        if dof.blade_count == 666:
+        if blade_count == 666:
             offset = sample_pentagram(xi, side)
         else:
-            offset = sample_ngon(xi, side, dof.blade_count, jnp.float32(dof.blade_rot))
-        offset = offset * jnp.float32(dof.aperture)
+            offset = sample_ngon(xi, side, blade_count, jnp.float32(blade_rot))
+        offset = offset * cam.aperture
         t = lerp(
-            jnp.float32(dof.focal_length) / jnp.sum(rd * fwd, axis=-1, keepdims=True),
-            jnp.float32(dof.focal_length),
-            jnp.float32(dof.focal_plane_curvature),
+            cam.focal_length / jnp.sum(rd * cam.fwd, axis=-1, keepdims=True),
+            cam.focal_length,
+            cam.focal_curvature,
         )
         focus_pos = ro + rd * t
-        aperture_pos = ro + right * offset[..., 0:1] + up * offset[..., 1:2]
+        aperture_pos = ro + cam.right * offset[..., 0:1] + cam.up * offset[..., 1:2]
         ro = aperture_pos
         rd = normalize(focus_pos - aperture_pos)
 

@@ -1,0 +1,238 @@
+"""The wavefront path-tracing integrator.
+
+Counterpart of Pt_TraceRay / TraceFn / Pt_Trace (ref: src/rendering/
+path_tracer.c:2306-2585) — redesigned for the TPU execution model:
+
+  reference                      this design
+  ---------------------------    ------------------------------------------
+  per-pixel while(bounce) loop   `lax.scan` over bounce index, all rays in
+                                 lockstep with an `alive` mask
+  64 worker threads              one dense [N]-lane wavefront; N = W*H (or a
+                                 shard of it under shard_map)
+  per-thread PCG stream          per-ray counter RNG (pixel, sample)-keyed
+  Russian roulette `break`       RR folds into the alive mask; the scan
+                                 runs max_bounces iterations but dead lanes
+                                 do no memory traffic thanks to XLA masking
+  atomic light histogram         scatter-add into the carried [G, E] tensor
+
+Radiance math is bit-comparable per lane: RR scaling, NEE MIS weights,
+emission gating on bounce==0 / prev-refractive, and the albedo/normal AOV
+weighting all follow the reference line-for-line (cited inline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pim_tpu.core import rng
+from pim_tpu.geom.material import MatFlag
+from pim_tpu.math.brdf import BrdfLut
+from pim_tpu.math.color import avg_lum
+from pim_tpu.math.vec import EPS, PI, RCP_EPS, TAU, dot, normalize, saturate
+from pim_tpu.render.bsdf import scatter_principled
+from pim_tpu.render.lights import estimate_direct, light_on_hit
+from pim_tpu.render.scene import (
+    LightState,
+    SceneArrays,
+    SceneMeta,
+    scene_intersect,
+)
+from pim_tpu.render.surface import get_surface
+
+
+class TraceResult(NamedTuple):
+    color: jnp.ndarray    # [N, 3] radiance
+    albedo: jnp.ndarray   # [N, 3] AOV
+    normal: jnp.ndarray   # [N, 3] AOV
+    live: jnp.ndarray     # [G, E] u32 light-learning histogram delta
+
+
+def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd):
+    if meta.has_sky:
+        from pim_tpu.render.sky import sample_sky_cubemap
+
+        return sample_sky_cubemap(arrays.sky, rd)
+    return jnp.zeros_like(rd)
+
+
+def trace_rays(
+    meta: SceneMeta,
+    arrays: SceneArrays,
+    lights: LightState,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    state: jnp.ndarray,
+    max_bounces: int,
+) -> TraceResult:
+    """Trace a batch of rays to completion.
+
+    ro/rd: [N, 3]; state: [N, 4] per-ray rng.  Returns radiance + AOVs and
+    the light-histogram delta to be folded into LightState.
+    """
+    n = ro.shape[0]
+    lut = BrdfLut(texels=arrays.brdf_lut)
+
+    g, e = lights.live.shape
+
+    init = dict(
+        ro=ro,
+        rd=rd,
+        state=state,
+        lum=jnp.zeros((n, 3), jnp.float32),
+        atten=jnp.ones((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        prev_refractive=jnp.zeros((n,), bool),
+        aov_albedo=jnp.zeros((n, 3), jnp.float32),
+        aov_normal=jnp.zeros((n, 3), jnp.float32),
+        aov_weight=jnp.zeros((n,), jnp.float32),
+        live=jnp.zeros((g, e), jnp.uint32),
+    )
+
+    def bounce(carry, b):
+        ro = carry["ro"]
+        rd = carry["rd"]
+        state = carry["state"]
+        alive = carry["alive"]
+        atten = carry["atten"]
+        lum = carry["lum"]
+
+        # --- Russian roulette (ref :2319-2331) -----------------------------
+        p = saturate(avg_lum(atten))
+        state, u_rr = rng.next_f32(state)
+        survive = u_rr < p
+        atten = jnp.where(
+            (alive & survive)[..., None], atten / jnp.maximum(p, EPS)[..., None], atten
+        )
+        alive = alive & survive
+
+        # --- extend ray (ref :2333) ----------------------------------------
+        hit = scene_intersect(meta, arrays, ro, rd, 0.0, RCP_EPS)
+        missed = hit.tri < 0
+
+        # miss -> sky + die (ref :2334-2339)
+        sky = _sky_radiance(meta, arrays, rd)
+        add_sky = alive & missed
+        lum = lum + jnp.where(add_sky[..., None], atten * sky, 0.0)
+
+        # backface of a non-refractive surface -> die (ref :2340-2343)
+        flags_hit = arrays.m_flags[arrays.mat_ids[jnp.maximum(hit.tri, 0)]]
+        refr_hit = (flags_hit & int(MatFlag.REFRACTIVE)) != 0
+        dead_backface = hit.backface & ~refr_hit
+        alive = alive & ~missed & ~dead_backface
+
+        # --- surface fetch (ref :2369) -------------------------------------
+        surf = get_surface(meta, arrays, ro, rd, hit)
+
+        # light learning (ref :2370-2373, only bounce > 0)
+        live = carry["live"]
+        if e > 0:
+            live = jax.lax.cond(
+                b > 0,
+                lambda lv: light_on_hit(
+                    meta, arrays, lv, ro, surf.emission, hit.tri, alive
+                ),
+                lambda lv: lv,
+                live,
+            )
+
+        # emission only on primary hits or through refractive chains
+        # (ref :2375-2378)
+        emit_vis = alive & ((b == 0) | carry["prev_refractive"])
+        lum = lum + jnp.where(emit_vis[..., None], surf.emission * atten, 0.0)
+
+        # sky-flagged surface terminates (ref :2379-2382)
+        is_sky_surf = (surf.flags & int(MatFlag.SKY)) != 0
+        alive = alive & ~is_sky_surf
+
+        # --- NEE (ref :2384-2387) ------------------------------------------
+        state, li = estimate_direct(
+            meta, arrays, lights, lut, surf, hit.tri, rd, state
+        )
+        lum = lum + jnp.where(alive[..., None], li * atten, 0.0)
+
+        # --- continuation scatter (ref :2389-2398) -------------------------
+        if meta.has_refractive:
+            def thickness_fn(p, l):
+                h = scene_intersect(meta, arrays, p, l, 0.0, RCP_EPS)
+                return h.t
+        else:
+            thickness_fn = None
+        state, scat = scatter_principled(lut, surf, rd, state, occluded_fn=thickness_fn)
+        cont = alive & (scat.pdf > EPS)
+        new_atten = atten * scat.attenuation / jnp.maximum(scat.pdf, EPS)[..., None]
+        atten = jnp.where(cont[..., None], new_atten, atten)
+        ro = jnp.where(cont[..., None], scat.pos, ro)
+        rd = jnp.where(cont[..., None], scat.dir, rd)
+        prev_refractive = jnp.where(
+            cont, (surf.flags & int(MatFlag.REFRACTIVE)) != 0, False
+        )
+        alive = cont
+
+        # --- AOV accumulation (ref :2400-2406) -----------------------------
+        a_scaled = atten * (1.0 / PI)
+        w = saturate(1.0 - avg_lum(a_scaled)) * alive.astype(jnp.float32)
+        aov_albedo = carry["aov_albedo"] + surf.albedo * w[..., None]
+        aov_normal = carry["aov_normal"] + surf.n * w[..., None]
+        aov_weight = carry["aov_weight"] + w
+
+        return (
+            dict(
+                ro=ro, rd=rd, state=state, lum=lum, atten=atten, alive=alive,
+                prev_refractive=prev_refractive, aov_albedo=aov_albedo,
+                aov_normal=aov_normal, aov_weight=aov_weight, live=live,
+            ),
+            None,
+        )
+
+    carry, _ = jax.lax.scan(bounce, init, jnp.arange(max_bounces))
+
+    s = 1.0 / jnp.maximum(carry["aov_weight"], EPS)
+    return TraceResult(
+        color=carry["lum"],
+        albedo=carry["aov_albedo"] * s[..., None],
+        normal=carry["aov_normal"] * s[..., None],
+        live=carry["live"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Progressive accumulation (ref Pt_Trace + TraceFn EMA :2550-2552)
+# ---------------------------------------------------------------------------
+
+
+class TraceBuffers(NamedTuple):
+    """Progressive accumulation state (ref PtTrace, path_tracer.h:67-84)."""
+
+    color: jnp.ndarray    # [H*W, 3]
+    albedo: jnp.ndarray   # [H*W, 3]
+    normal: jnp.ndarray   # [H*W, 3]
+
+
+def make_trace_buffers(width: int, height: int) -> TraceBuffers:
+    n = width * height
+    z = jnp.zeros((n, 3), jnp.float32)
+    return TraceBuffers(color=z, albedo=z, normal=z)
+
+
+def accumulate(buffers: TraceBuffers, result: TraceResult, sample_weight) -> TraceBuffers:
+    """Progressive EMA: lerp(prev, new, 1/sampleCount)."""
+    sw = jnp.asarray(sample_weight, jnp.float32)
+    return TraceBuffers(
+        color=buffers.color + (result.color - buffers.color) * sw,
+        albedo=buffers.albedo + (result.albedo - buffers.albedo) * sw,
+        normal=buffers.normal + (result.normal - buffers.normal) * sw,
+    )
+
+
+def luminance_stddev(color: jnp.ndarray) -> jnp.ndarray:
+    """pt_stddev convergence metric (ref CalcStdDev,
+    render_system.c:1374-1394): stddev of per-pixel average luminance."""
+    lum = avg_lum(color)
+    n = lum.shape[0]
+    mean = jnp.mean(lum)
+    var = jnp.sum((lum - mean) ** 2) / (n - 1)
+    return jnp.sqrt(var)

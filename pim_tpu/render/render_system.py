@@ -1,0 +1,317 @@
+"""Render system: the per-frame orchestrator + console commands.
+
+Counterpart of src/rendering/render_system.c — owns the progressive trace
+buffers, the scene, the camera/DoF, and exposure; registers the engine's
+console commands (cornell_box, pt_test, pt_stddev, screenshot, teleport,
+lookat, mapload/mapsave...).  The whole frame — raygen, trace, accumulate,
+light-grid adapt, autofocus probe, auto-exposure — is ONE jitted XLA program
+per (scene, resolution); camera motion and sample index are traced inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pim_tpu.core import cvars as cv
+from pim_tpu.core import rng
+from pim_tpu.core.cmd import CmdStat, cmd_getopt, get_cmd_system
+from pim_tpu.core.console import LogSev, con_logf
+from pim_tpu.core.crate import Crate
+from pim_tpu.core.profiler import profile
+from pim_tpu.core.timesys import get_timesys
+from pim_tpu.geom.cornell import build_cornell_box
+from pim_tpu.geom.entities import Entities
+from pim_tpu.geom.material import TexturePool
+from pim_tpu.math.vec import RCP_EPS
+from pim_tpu.render.camera import Camera, CameraArrays, DofInfo, camera_arrays, generate_primary_rays
+from pim_tpu.render.exposure import (
+    ExposureParams,
+    ExposureState,
+    exposure_pass,
+    make_exposure_state,
+)
+from pim_tpu.render.integrator import (
+    TraceBuffers,
+    accumulate,
+    luminance_stddev,
+    make_trace_buffers,
+    trace_rays,
+)
+from pim_tpu.render.scene import (
+    LightState,
+    build_scene,
+    scene_intersect,
+    update_light_state,
+)
+from pim_tpu.render.screenshot import quantize_dithered, tonemap_for_display, write_png
+
+
+def _make_frame_step(meta, width: int, height: int, max_bounces: int,
+                     blade_count: int, blade_rot: float, autofocus_rate: float):
+    """Build the jitted progressive-frame function for a fixed scene+res."""
+
+    @jax.jit
+    def step(arrays, lights: LightState, buffers: TraceBuffers,
+             exp_state: ExposureState, exp_params: ExposureParams,
+             cam: CameraArrays, sample_idx, sample_weight, dt, autofocus):
+        n = width * height
+        state = rng.make_state(
+            jnp.arange(n, dtype=jnp.uint32), sample_idx.astype(jnp.uint32)
+        )
+
+        # autofocus probe (ref DofUpdate :2485-2503): one ray down the view
+        probe = scene_intersect(
+            meta, arrays, cam.eye[None, :], cam.fwd[None, :], 0.0, RCP_EPS
+        )
+        t_af = jnp.clip(1.0 - jnp.exp(-dt * autofocus_rate), 0.0, 1.0)
+        focal = jnp.where(
+            autofocus & (probe.t[0] > 0.0),
+            cam.focal_length + (probe.t[0] - cam.focal_length) * t_af,
+            cam.focal_length,
+        )
+        cam = cam._replace(focal_length=focal)
+
+        state, ro, rd = generate_primary_rays(
+            cam, width, height, state, blade_count, blade_rot
+        )
+        result = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces)
+        buffers = accumulate(buffers, result, sample_weight)
+
+        # fold the frame's light-histogram delta, then adapt (ref UpdateDists)
+        lights = lights._replace(live=lights.live + result.live)
+        lights = update_light_state(lights)
+
+        exp_state = exposure_pass(buffers.color, exp_params, exp_state, dt)
+        return buffers, lights, exp_state, focal
+
+    return step
+
+
+@dataclass
+class RenderSystem:
+    width: int = 256
+    height: int = 256
+    max_bounces: int = 10
+
+    entities: Entities = field(default_factory=Entities)
+    pool: TexturePool = field(default_factory=TexturePool)
+    camera: Camera = field(default_factory=Camera)
+    dof: DofInfo = field(default_factory=DofInfo)
+
+    meta: object = None
+    arrays: object = None
+    lights: Optional[LightState] = None
+    buffers: Optional[TraceBuffers] = None
+    exp_state: ExposureState = field(default_factory=make_exposure_state)
+    sample_count: int = 0
+    scene_modtime: int = -1
+    _step = None
+    _cam_snapshot: tuple = ()
+
+    def init(self) -> None:
+        self._register_cmds()
+
+    # --- scene management ---------------------------------------------------
+
+    def _ensure_scene(self) -> None:
+        if self.meta is None or self.entities.modtime != self.scene_modtime:
+            with profile("PtScene_Update"):
+                backend = cv.cv_pt_backend.get()
+                self.meta, self.arrays, self.lights = build_scene(
+                    self.entities, self.pool, backend=backend,
+                    media_enabled=cv.cv_pt_media.get(),
+                )
+                self.scene_modtime = self.entities.modtime
+                self._step = None
+                self.reset_accumulation()
+
+    def reset_accumulation(self) -> None:
+        self.buffers = make_trace_buffers(self.width, self.height)
+        self.sample_count = 0
+
+    def set_resolution(self, width: int, height: int) -> None:
+        if (width, height) != (self.width, self.height):
+            self.width = width
+            self.height = height
+            self._step = None
+            self.reset_accumulation()
+
+    def _camera_snapshot(self):
+        return (
+            tuple(np.round(self.camera.position, 6).tolist()),
+            tuple(np.round(self.camera.rotation, 6).tolist()),
+            round(self.camera.fov_y, 4),
+        )
+
+    # --- per-frame ----------------------------------------------------------
+
+    def update(self) -> None:
+        """One progressive frame (ref RenderSys_Update + PathTrace)."""
+        if not cv.cv_pt_trace.get():
+            return
+        self._ensure_scene()
+        if self.meta.tri_count == 0:
+            return
+
+        snap = self._camera_snapshot()
+        if snap != self._cam_snapshot:
+            self._cam_snapshot = snap
+            self.reset_accumulation()
+
+        if self._step is None:
+            self._step = _make_frame_step(
+                self.meta, self.width, self.height,
+                max_bounces=cv.cv_pt_max_bounces.get(),
+                blade_count=self.dof.blade_count,
+                blade_rot=self.dof.blade_rot,
+                autofocus_rate=self.dof.autofocus_speed,
+            )
+
+        ts = get_timesys()
+        dt = jnp.float32(max(ts.smooth_delta, 1.0 / 240.0))
+        self.sample_count += 1
+        sw = jnp.float32(1.0 / self.sample_count)
+        cam = camera_arrays(
+            self.camera, self.dof, self.width, self.height,
+            focal_length=self.dof.focal_length,
+        )
+        with profile("Pt_Trace"):
+            self.buffers, self.lights, self.exp_state, focal = self._step(
+                self.arrays, self.lights, self.buffers,
+                self.exp_state, ExposureParams.from_cvars(), cam,
+                jnp.uint32(self.sample_count - 1), sw, dt,
+                jnp.asarray(self.dof.autofocus),
+            )
+        self.dof.focal_length = float(focal)
+
+    # --- outputs ------------------------------------------------------------
+
+    def image_hdr(self) -> np.ndarray:
+        return np.asarray(self.buffers.color).reshape(self.height, self.width, 3)
+
+    def stddev(self) -> float:
+        return float(luminance_stddev(self.buffers.color))
+
+    def screenshot(self, name: Optional[str] = None) -> str:
+        """Tonemapped PNG (ref CmdScreenshot :680-745)."""
+        import time as _time
+
+        if name is None:
+            name = _time.strftime("%Y_%m_%d_%H_%M_%S")
+        path = os.path.join("screenshots", f"{name}.png")
+        hdr = self.buffers.color.reshape(self.height, self.width, 3)
+        srgb = tonemap_for_display(hdr, self.exp_state.exposure)
+        rgb8 = quantize_dithered(srgb)
+        write_png(path, rgb8, flip_vertical=True)
+        con_logf(LogSev.Info, "Sc", "Took screenshot '%s'", path)
+        return path
+
+    # --- commands (ref RenderSys_Init :500-513) ------------------------------
+
+    def _register_cmds(self) -> None:
+        sys = get_cmd_system()
+
+        def cmd_cornell(argv: List[str]) -> CmdStat:
+            prim = argv[1] if len(argv) > 1 else "boxes"
+            self.entities, self.pool = build_cornell_box(prim)
+            self.camera.reset()
+            self.reset_accumulation()
+            return CmdStat.OK
+
+        def cmd_teleport(argv: List[str]) -> CmdStat:
+            if len(argv) < 4:
+                con_logf(LogSev.Error, "cmd", "usage: teleport x y z")
+                return CmdStat.ERR
+            self.camera.position = np.asarray(
+                [float(argv[1]), float(argv[2]), float(argv[3])], np.float32
+            )
+            return CmdStat.OK
+
+        def cmd_lookat(argv: List[str]) -> CmdStat:
+            if len(argv) < 4:
+                con_logf(LogSev.Error, "cmd", "usage: lookat x y z")
+                return CmdStat.ERR
+            self.camera.look_at([float(argv[1]), float(argv[2]), float(argv[3])])
+            return CmdStat.OK
+
+        def cmd_pt_test(argv: List[str]) -> CmdStat:
+            frames = cmd_getopt(argv, "frames")
+            frames = int(frames) if frames else 500
+            frames = max(1, min(frames, 1 << 23))
+            q = get_cmd_system()
+            q.enqueue("cornell_box")
+            q.enqueue("teleport -4 0 4")
+            q.enqueue("lookat 0 -1 0")
+            q.enqueue("pt_denoise 0")
+            q.enqueue("exp_manual 1")
+            q.enqueue("exp_evoffset 5")
+            q.enqueue("pt_trace 1")
+            q.enqueue(f"wait {frames}")
+            q.enqueue("pt_stddev")
+            q.enqueue("screenshot; pt_trace 0")
+            q.enqueue("quit")
+            return CmdStat.OK
+
+        def cmd_pt_stddev(argv: List[str]) -> CmdStat:
+            if self.buffers is None:
+                return CmdStat.ERR
+            sd = self.stddev()
+            con_logf(LogSev.Info, "pt", "StdDev: %f", sd)
+            self.screenshot(f"pt_stddev_{sd:f}")
+            return CmdStat.OK
+
+        def cmd_screenshot(argv: List[str]) -> CmdStat:
+            self.screenshot(argv[1] if len(argv) > 1 else None)
+            return CmdStat.OK
+
+        def cmd_mapsave(argv: List[str]) -> CmdStat:
+            name = argv[1] if len(argv) > 1 else "map"
+            crate = Crate()
+            crate.set("entities", self.entities.to_crate_entry())
+            os.makedirs("maps", exist_ok=True)
+            crate.save(os.path.join("maps", f"{name}.crate"))
+            con_logf(LogSev.Info, "map", "saved maps/%s.crate", name)
+            return CmdStat.OK
+
+        def cmd_mapload(argv: List[str]) -> CmdStat:
+            if len(argv) < 2:
+                con_logf(LogSev.Error, "cmd", "usage: mapload <name>")
+                return CmdStat.ERR
+            name = argv[1]
+            path = os.path.join("maps", f"{name}.crate")
+            if os.path.exists(path):
+                crate = Crate.load(path)
+                self.entities = Entities.from_crate_entry(crate.get("entities"))
+                self.camera.reset()
+                self.reset_accumulation()
+                return CmdStat.OK
+            # glTF fallback (ref: data/<name>/glTF/<name>.gltf)
+            from pim_tpu.geom.gltf import load_gltf_scene
+
+            gltf_path = os.path.join(
+                cv.cv_basedir.get(), name, "glTF", f"{name}.gltf"
+            )
+            try:
+                self.entities, self.pool = load_gltf_scene(gltf_path)
+            except FileNotFoundError:
+                con_logf(LogSev.Error, "map", "no map '%s'", name)
+                return CmdStat.ERR
+            self.camera.reset()
+            self.reset_accumulation()
+            return CmdStat.OK
+
+        sys.reg("cornell_box", cmd_cornell, "load the cornell box test scene")
+        sys.reg("teleport", cmd_teleport, "move the camera")
+        sys.reg("lookat", cmd_lookat, "aim the camera at a point")
+        sys.reg("pt_test", cmd_pt_test, "run the path tracer convergence test")
+        sys.reg("pt_stddev", cmd_pt_stddev, "print luminance stddev + screenshot")
+        sys.reg("screenshot", cmd_screenshot, "write a tonemapped png")
+        sys.reg("mapsave", cmd_mapsave, "save entities to a crate")
+        sys.reg("mapload", cmd_mapload, "load a map (crate or glTF)")

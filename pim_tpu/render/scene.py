@@ -80,6 +80,7 @@ class SceneMeta:
     backend: str            # 'brute' | 'bvh'
     max_leaf: int
     has_sky: bool
+    has_refractive: bool
     media_enabled: bool
 
     @property
@@ -363,6 +364,9 @@ def build_scene(
         backend=backend,
         max_leaf=max_leaf,
         has_sky=has_sky,
+        has_refractive=any(
+            m.flags & MatFlag.REFRACTIVE for m in flat.materials
+        ),
         media_enabled=media_enabled,
     )
 
