@@ -1,0 +1,157 @@
+"""Sharded render/train steps over a jax.sharding.Mesh.
+
+The reference's Task_Run(TraceFn, W*H) fork-join over 64 threads
+(src/threading/task.c:179-230) becomes `shard_map` over a 'dp' mesh axis:
+
+  rays/pixels   -> sharded along 'dp' (the leading ray axis)
+  scene arrays  -> replicated (BVH + textures ≈ TP=1, per SURVEY.md §2.9)
+  light 'live'  -> per-device partials, `psum` over 'dp' (the atomics analog)
+  param grads   -> `psum` over 'dp' (the DCN/ICI all-reduce)
+
+The training step differentiates the rendered image w.r.t. material
+parameters (atlas texels) — the reference has no gradients; this is the
+BASELINE.json differentiability surface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pim_tpu.core import rng
+from pim_tpu.render.camera import CameraArrays, generate_primary_rays
+from pim_tpu.render.integrator import trace_rays
+from pim_tpu.render.scene import LightState, SceneArrays, SceneMeta
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def make_sharded_render_step(meta: SceneMeta, mesh: Mesh, width: int, height: int,
+                             max_bounces: int = 4):
+    """Returns step(arrays, lights, cam, sample_idx) -> (color, albedo,
+    normal, live) with rays sharded over mesh axis 'dp'."""
+    n = width * height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"pixels {n} must divide devices {n_dev}"
+
+    def shard_body(arrays, lights, cam, pixel_ids, sample_idx):
+        # pixel_ids: local shard of the pixel index space
+        state = rng.make_state(pixel_ids, sample_idx)
+        state, ro, rd = _raygen_for_pixels(cam, width, height, pixel_ids, state)
+        res = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces)
+        live = jax.lax.psum(res.live, "dp")
+        return res.color, res.albedo, res.normal, live
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P()),
+        out_specs=(P("dp"), P("dp"), P("dp"), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(arrays, lights, cam, sample_idx):
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+        return sharded(arrays, lights, cam, pixel_ids, sample_idx)
+
+    return step
+
+
+def _raygen_for_pixels(cam: CameraArrays, width: int, height: int, pixel_ids, state):
+    """Primary rays for an arbitrary pixel-id subset (sharded raygen)."""
+    from pim_tpu.math.sampling import sample_gauss_pixel_filter, sample_ngon
+    from pim_tpu.math.vec import lerp, normalize
+    from pim_tpu.render.camera import proj_dir
+
+    i = pixel_ids.astype(jnp.int32)
+    rcp = jnp.asarray([1.0 / width, 1.0 / height], jnp.float32)
+    base_uv = jnp.stack(
+        [
+            ((i % width).astype(jnp.float32) + 0.5) / width,
+            ((i // width).astype(jnp.float32) + 0.5) / height,
+        ],
+        axis=-1,
+    )
+    state, xi_aa = rng.next_f32x2(state)
+    aa = sample_gauss_pixel_filter(xi_aa, 1.0)
+    coord = (base_uv + aa * rcp) * 2.0 - 1.0
+    rd = proj_dir(cam.right, cam.up, cam.fwd, (cam.slope[0], cam.slope[1]), coord)
+    ro = jnp.broadcast_to(cam.eye, rd.shape)
+
+    state, side = rng.next_u32(state)
+    state, xi = rng.next_f32x2(state)
+    offset = sample_ngon(xi, side, 5, jnp.float32(np.pi / 10.0)) * cam.aperture
+    t = lerp(
+        cam.focal_length / jnp.sum(rd * cam.fwd, axis=-1, keepdims=True),
+        cam.focal_length,
+        cam.focal_curvature,
+    )
+    focus = ro + rd * t
+    ap = ro + cam.right * offset[..., 0:1] + cam.up * offset[..., 1:2]
+    return state, ap, normalize(focus - ap)
+
+
+def make_sharded_train_step(meta: SceneMeta, mesh: Mesh, width: int, height: int,
+                            max_bounces: int = 3, lr: float = 0.05):
+    """The FULL differentiable training step, sharded over 'dp'.
+
+    Loss = L2 between the rendered image and a target; parameters = the
+    material atlas (albedo/rome texels).  Per-device: raygen -> wavefront
+    trace -> local loss; gradients all-reduce with psum over the mesh (the
+    overlap-with-backward-wavefront pattern rides XLA's scheduler).
+    Returns step(arrays, lights, cam, target, sample_idx)
+        -> (loss, new_arrays, live).
+    """
+    n = width * height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0
+
+    def local_loss(atlas, arrays: SceneArrays, lights, cam, target, pixel_ids, sample_idx):
+        arrays = arrays._replace(atlas=atlas)
+        state = rng.make_state(pixel_ids, sample_idx)
+        state, ro, rd = _raygen_for_pixels(cam, width, height, pixel_ids, state)
+        res = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces)
+        loss = jnp.mean((res.color - target) ** 2)
+        return loss, res.live
+
+    def shard_body(arrays, lights, cam, target, pixel_ids, sample_idx):
+        (loss, live), g_atlas = jax.value_and_grad(local_loss, has_aux=True)(
+            arrays.atlas, arrays, lights, cam, target, pixel_ids, sample_idx
+        )
+        # gradient + loss all-reduce across the data-parallel axis
+        loss = jax.lax.pmean(loss, "dp")
+        g_atlas = jax.lax.pmean(g_atlas, "dp")
+        live = jax.lax.psum(live, "dp")
+        new_atlas = arrays.atlas - lr * g_atlas
+        return loss, new_atlas, live
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P("dp"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(arrays, lights, cam, target, sample_idx):
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+        loss, new_atlas, live = sharded(
+            arrays, lights, cam, target, pixel_ids, sample_idx
+        )
+        return loss, arrays._replace(atlas=new_atlas), lights._replace(
+            live=lights.live + live
+        )
+
+    return step

@@ -49,6 +49,7 @@ class TraceResult(NamedTuple):
     albedo: jnp.ndarray   # [N, 3] AOV
     normal: jnp.ndarray   # [N, 3] AOV
     live: jnp.ndarray     # [G, E] u32 light-learning histogram delta
+    rays_traced: jnp.ndarray  # scalar i64-ish f32: total rays actually cast
 
 
 def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd):
@@ -90,6 +91,7 @@ def trace_rays(
         aov_normal=jnp.zeros((n, 3), jnp.float32),
         aov_weight=jnp.zeros((n,), jnp.float32),
         live=jnp.zeros((g, e), jnp.uint32),
+        rays=jnp.float32(0.0),
     )
 
     def bounce(carry, b):
@@ -110,6 +112,7 @@ def trace_rays(
         alive = alive & survive
 
         # --- extend ray (ref :2333) ----------------------------------------
+        rays = carry["rays"] + jnp.sum(alive.astype(jnp.float32))
         hit = scene_intersect(meta, arrays, ro, rd, 0.0, RCP_EPS)
         missed = hit.tri < 0
 
@@ -149,6 +152,7 @@ def trace_rays(
         alive = alive & ~is_sky_surf
 
         # --- NEE (ref :2384-2387) ------------------------------------------
+        rays = rays + jnp.sum(alive.astype(jnp.float32))  # the NEE ray
         state, li = estimate_direct(
             meta, arrays, lights, lut, surf, hit.tri, rd, state
         )
@@ -184,6 +188,7 @@ def trace_rays(
                 ro=ro, rd=rd, state=state, lum=lum, atten=atten, alive=alive,
                 prev_refractive=prev_refractive, aov_albedo=aov_albedo,
                 aov_normal=aov_normal, aov_weight=aov_weight, live=live,
+                rays=rays,
             ),
             None,
         )
@@ -196,6 +201,7 @@ def trace_rays(
         albedo=carry["aov_albedo"] * s[..., None],
         normal=carry["aov_normal"] * s[..., None],
         live=carry["live"],
+        rays_traced=carry["rays"],
     )
 
 

@@ -41,6 +41,7 @@ class SceneArrays(NamedTuple):
     normals: jnp.ndarray     # [V, 3]
     uvs: jnp.ndarray         # [V, 2]
     mat_ids: jnp.ndarray     # [T] i32 per-triangle
+    tris9: jnp.ndarray       # [9, Tpad] packed (a, e1, e2) for the Pallas path
     # bvh
     bvh_lo: jnp.ndarray
     bvh_hi: jnp.ndarray
@@ -103,6 +104,10 @@ def scene_intersect(meta: SceneMeta, arrays: SceneArrays, ro, rd, t_near, t_far)
     if meta.backend == "bvh":
         bvh = BvhArrays(arrays.bvh_lo, arrays.bvh_hi, arrays.bvh_a, arrays.bvh_b, arrays.tri_order)
         return isect.intersect_bvh(bvh, arrays.positions, ro, rd, t_near, t_far, meta.max_leaf)
+    if meta.backend == "pallas":
+        from pim_tpu.render.pallas_kernels import intersect_pallas
+
+        return intersect_pallas(arrays.tris9, arrays.positions, ro, rd, t_near, t_far)
     return isect.intersect_brute(arrays.positions, ro, rd, t_near, t_far)
 
 
@@ -110,6 +115,10 @@ def scene_occluded(meta: SceneMeta, arrays: SceneArrays, ro, rd, t_near, t_far) 
     if meta.backend == "bvh":
         bvh = BvhArrays(arrays.bvh_lo, arrays.bvh_hi, arrays.bvh_a, arrays.bvh_b, arrays.tri_order)
         return isect.occluded_bvh(bvh, arrays.positions, ro, rd, t_near, t_far, meta.max_leaf)
+    if meta.backend == "pallas":
+        from pim_tpu.render.pallas_kernels import occluded_pallas
+
+        return occluded_pallas(arrays.tris9, ro, rd, t_near, t_far)
     return isect.occluded_brute(arrays.positions, ro, rd, t_near, t_far)
 
 
@@ -330,9 +339,14 @@ def build_scene(
     tri_to_emit = np.full(tri_count, -1, np.int32)
     tri_to_emit[emissive_tris] = np.arange(len(emissive_tris), dtype=np.int32)
 
-    # bvh
+    # backend choice: the Pallas dense kernel is the TPU speed path;
+    # brute (pure XLA) is the CPU/test oracle; bvh wins on huge scenes
     if backend == "auto":
-        backend = "brute" if tri_count <= brute_threshold else "bvh"
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if on_tpu:
+            backend = "pallas" if tri_count <= 65536 else "bvh"
+        else:
+            backend = "brute" if tri_count <= brute_threshold else "bvh"
     bvh = build_bvh(flat.positions, max_leaf=max_leaf)
 
     # grid bounds
@@ -370,11 +384,14 @@ def build_scene(
         media_enabled=media_enabled,
     )
 
+    from pim_tpu.render.pallas_kernels import pack_tris
+
     arrays = SceneArrays(
         positions=jnp.asarray(flat.positions),
         normals=jnp.asarray(flat.normals),
         uvs=jnp.asarray(flat.uvs),
         mat_ids=jnp.asarray(flat.mat_ids),
+        tris9=pack_tris(flat.positions),
         bvh_lo=jnp.asarray(bvh.node_lo),
         bvh_hi=jnp.asarray(bvh.node_hi),
         bvh_a=jnp.asarray(bvh.node_a),
