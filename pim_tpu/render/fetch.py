@@ -1,0 +1,116 @@
+"""Attribute fetch strategies: one-hot MXU matmul vs gather.
+
+Measured on TPU v5e (see git history): a data-dependent row gather in the
+middle of the frame program costs ~1 ms per 262k lanes, while a one-hot
+matmul against a small table fetches *dozens* of attribute columns in under
+2 ms total — the MXU eats the lookup.  So every per-hit attribute lives in
+ONE fused [T, F] table and is fetched with ONE one-hot matmul; plain
+gathers remain only for large tables (big scenes route through the Pallas
+kernels instead).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# above this many rows the one-hot operand's HBM traffic outweighs the win
+ONEHOT_MAX_ROWS = 1024
+
+
+def fetch_rows(table: jnp.ndarray, idx: jnp.ndarray, force_gather: bool = False):
+    """table [T, F], idx int [...] -> [..., F]."""
+    rows = table.shape[0]
+    if force_gather or rows > ONEHOT_MAX_ROWS:
+        return table[idx]
+    oh = jax.nn.one_hot(idx, rows, dtype=table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=table.dtype)
+
+
+def select_columns(rows: jnp.ndarray, col_idx: jnp.ndarray):
+    """rows [..., F], col_idx int [...] -> [...]: lane-local column pick via
+    a small one-hot multiply (avoids a gather)."""
+    f = rows.shape[-1]
+    oh = jax.nn.one_hot(col_idx, f, dtype=rows.dtype)
+    return jnp.sum(rows * oh, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# The fused per-triangle attribute table.
+# Layout (float32 columns; ints are exact in f32 below 2^24):
+# ---------------------------------------------------------------------------
+PA = slice(0, 3)        # vertex A position
+PB = slice(3, 6)
+PC = slice(6, 9)
+NA = slice(9, 12)       # vertex normals
+NB = slice(12, 15)
+NC = slice(15, 18)
+UVA = slice(18, 20)     # vertex uvs
+UVB = slice(20, 22)
+UVC = slice(22, 24)
+ALBEDO = slice(24, 28)  # flat material albedo (rgba)
+ROME = slice(28, 32)    # flat material rome
+IOR = 32
+FLAGS = 33
+MFP = slice(34, 38)
+ALBEDO_TEX = 38
+ROME_TEX = 39
+NORMAL_TEX = 40
+MAT_ID = 41
+AREA = 42
+EMIT_IDX = 43           # -1 when not emissive
+TRI_TABLE_COLS = 48     # padded to a multiple of 8
+
+
+def build_tri_table(flat, mats, tri_to_emit, atlas, tex_rec) -> jnp.ndarray:
+    """Host-side build of the [T, 48] fused attribute table.
+
+    Flat (1x1) textures are inlined as constants; textured materials store
+    their atlas ids and get sampled through the atlas path.
+    """
+    import numpy as np
+
+    tri_count = flat.mat_ids.shape[0]
+    t = np.zeros((max(tri_count, 1), TRI_TABLE_COLS), np.float32)
+    if tri_count == 0:
+        return jnp.asarray(t)
+    pos = flat.positions.reshape(tri_count, 3, 3)
+    nrm = flat.normals.reshape(tri_count, 3, 3)
+    uv = flat.uvs.reshape(tri_count, 3, 2)
+    t[:, PA] = pos[:, 0]
+    t[:, PB] = pos[:, 1]
+    t[:, PC] = pos[:, 2]
+    t[:, NA] = nrm[:, 0]
+    t[:, NB] = nrm[:, 1]
+    t[:, NC] = nrm[:, 2]
+    t[:, UVA] = uv[:, 0]
+    t[:, UVB] = uv[:, 1]
+    t[:, UVC] = uv[:, 2]
+
+    def flat_texel(tex_id, default):
+        if tex_id < 0:
+            return np.asarray(default, np.float32)
+        x0, y0, w, h = tex_rec[tex_id]
+        if w == 1 and h == 1:
+            return atlas[y0, x0]
+        return None  # textured
+
+    for m_idx, mat in enumerate(mats):
+        sel = flat.mat_ids == m_idx
+        alb = flat_texel(mat.albedo_tex, [1, 1, 1, 1])
+        rom = flat_texel(mat.rome_tex, [0.5, 1, 0, 0])
+        t[sel, ALBEDO] = alb if alb is not None else 0.0
+        t[sel, ROME] = rom if rom is not None else 0.0
+        t[sel, IOR] = mat.ior
+        t[sel, FLAGS] = float(int(mat.flags))
+        t[sel, MFP] = np.asarray(mat.mean_free_path, np.float32)
+        t[sel, ALBEDO_TEX] = float(mat.albedo_tex if alb is None else -1)
+        t[sel, ROME_TEX] = float(mat.rome_tex if rom is None else -1)
+        t[sel, NORMAL_TEX] = float(mat.normal_tex)
+        t[sel, MAT_ID] = float(m_idx)
+
+    e1 = pos[:, 1] - pos[:, 0]
+    e2 = pos[:, 2] - pos[:, 0]
+    t[:, AREA] = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    t[:, EMIT_IDX] = tri_to_emit.astype(np.float32)
+    return jnp.asarray(t)

@@ -41,7 +41,7 @@ from pim_tpu.render.scene import (
     SceneMeta,
     scene_intersect,
 )
-from pim_tpu.render.surface import get_surface
+from pim_tpu.render.surface import fetch_hit_attribs, get_surface
 
 
 class TraceResult(NamedTuple):
@@ -121,23 +121,27 @@ def trace_rays(
         add_sky = alive & missed
         lum = lum + jnp.where(add_sky[..., None], atten * sky, 0.0)
 
+        # --- fused surface fetch (ref :2369; one one-hot matmul) -----------
+        at = fetch_hit_attribs(meta, arrays, hit)
+
         # backface of a non-refractive surface -> die (ref :2340-2343)
-        flags_hit = arrays.m_flags[arrays.mat_ids[jnp.maximum(hit.tri, 0)]]
-        refr_hit = (flags_hit & int(MatFlag.REFRACTIVE)) != 0
+        refr_hit = (at.flags & int(MatFlag.REFRACTIVE)) != 0
         dead_backface = hit.backface & ~refr_hit
         alive = alive & ~missed & ~dead_backface
 
-        # --- surface fetch (ref :2369) -------------------------------------
-        surf = get_surface(meta, arrays, ro, rd, hit)
+        surf = get_surface(meta, arrays, ro, rd, hit, attribs=at)
 
         # light learning (ref :2370-2373, only bounce > 0)
         live = carry["live"]
         if e > 0:
+            from pim_tpu.math.grid import grid_index
+            from pim_tpu.render import fetch as F
+
+            cell = grid_index(meta.grid_spec(arrays.grid_lo), ro)
+            emit = at.rows[:, F.EMIT_IDX].astype(jnp.int32)
             live = jax.lax.cond(
                 b > 0,
-                lambda lv: light_on_hit(
-                    meta, arrays, lv, ro, surf.emission, hit.tri, alive
-                ),
+                lambda lv: light_on_hit(meta, lv, cell, emit, surf.emission, alive),
                 lambda lv: lv,
                 live,
             )

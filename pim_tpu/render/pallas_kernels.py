@@ -165,36 +165,38 @@ def pack_tris(positions) -> jnp.ndarray:
     return packed
 
 
-def intersect_pallas(tris9, positions, ro, rd, t_near, t_far):
-    """Closest-hit via the Pallas kernel; returns the standard Hit tuple.
+def intersect_pallas_raw(tris9, ro, rd, t_near, t_far):
+    """Closest-hit kernel invocation; returns (t [N], tri [N]) only.
 
-    Barycentrics/normal are recomputed from the winning triangle outside
-    the kernel (a [N]-sized gather + one MT evaluation — negligible)."""
-    from pim_tpu.render.intersect import _finalize_hit, _moller_trumbore, _tri_verts
-
+    Barycentrics/normals are completed by the caller via the fused
+    tri-table fetch (scene._finalize_hit_fused)."""
     n = ro.shape[0]
     npad = int(np.ceil(n / RAY_BLOCK)) * RAY_BLOCK
     t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))
     t_far = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
     rng = jnp.stack([t_near, t_far], axis=-1)
     if npad != n:
-        ro_p = jnp.pad(ro, ((0, npad - n), (0, 0)))
-        rd_p = jnp.pad(rd, ((0, npad - n), (0, 0)), constant_values=1.0)
-        rng_p = jnp.pad(rng, ((0, npad - n), (0, 0)))
-    else:
-        ro_p, rd_p, rng_p = ro, rd, rng
+        ro = jnp.pad(ro, ((0, npad - n), (0, 0)))
+        rd = jnp.pad(rd, ((0, npad - n), (0, 0)), constant_values=1.0)
+        rng = jnp.pad(rng, ((0, npad - n), (0, 0)))
+    t, tri = _isect_call(tris9, ro, rd, rng, False)
+    return t[:n], tri[:n]
 
-    t, tri = _isect_call(tris9, ro_p, rd_p, rng_p, False)
-    t = t[:n]
-    tri = tri[:n]
 
-    # recompute barycentrics for the winning triangle
+def intersect_pallas(tris9, positions, ro, rd, t_near, t_far):
+    """Closest-hit with standard Hit completion (gather-based; used by
+    tests — the frame path uses intersect_pallas_raw + fused finalize)."""
+    from pim_tpu.render.intersect import _finalize_hit, _moller_trumbore, _tri_verts
+
+    n = ro.shape[0]
+    t_far_b = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
+    t, tri = intersect_pallas_raw(tris9, ro, rd, t_near, t_far)
     safe = jnp.maximum(tri, 0)
     a, b, c = _tri_verts(positions, safe)
     tt, u, v, det = _moller_trumbore(ro, rd, a, b - a, c - a)
     miss = tri < 0
-    t_final = jnp.where(miss, t_far, t)
-    return _finalize_hit(positions, t_final, tri, u, v, det, t_far * 2.0, rd)
+    t_final = jnp.where(miss, t_far_b, t)
+    return _finalize_hit(positions, t_final, tri, u, v, det, t_far_b * 2.0, rd)
 
 
 def occluded_pallas(tris9, ro, rd, t_near, t_far):

@@ -61,6 +61,8 @@ class SceneArrays(NamedTuple):
     # emissives (ref vertToEmit/emitToVert, per-tri here)
     tri_to_emit: jnp.ndarray   # [T] i32, -1 = not emissive
     emit_to_tri: jnp.ndarray   # [E] i32
+    # fused per-triangle attribute table (render/fetch.py layout)
+    tri_table: jnp.ndarray     # [T, 48] f32
     # light grid
     grid_lo: jnp.ndarray       # [3]
     cell_active: jnp.ndarray   # [G] bool
@@ -78,11 +80,13 @@ class SceneMeta:
     emissive_count: int
     grid_size: Tuple[int, int, int]
     cells_per_meter: float
-    backend: str            # 'brute' | 'bvh'
+    backend: str            # 'brute' | 'bvh' | 'pallas'
     max_leaf: int
     has_sky: bool
     has_refractive: bool
     media_enabled: bool
+    textured: bool          # any non-1x1 texture -> atlas path compiled in
+    has_normal_maps: bool
 
     @property
     def grid_len(self) -> int:
@@ -100,14 +104,45 @@ class LightState(NamedTuple):
     live: jnp.ndarray      # [G, E] u32 scatter-accumulated hit histogram
 
 
+def _finalize_hit_fused(arrays: SceneArrays, t, tri, ro, rd, t_far):
+    """Hit completion via the fused tri-table fetch (no serial gathers).
+
+    Recomputes barycentrics + the geometric normal for the winning triangle
+    with one one-hot matmul."""
+    from pim_tpu.render import fetch as F
+    from pim_tpu.render.intersect import Hit, _moller_trumbore
+
+    rows = F.fetch_rows(arrays.tri_table, jnp.maximum(tri, 0))
+    a = rows[:, F.PA]
+    b = rows[:, F.PB]
+    c = rows[:, F.PC]
+    tt, u, v, det = _moller_trumbore(ro, rd, a, b - a, c - a)
+    miss = tri < 0
+    ng = jnp.cross(b - a, c - a)
+    backface = det < 0.0
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1, keepdims=True), 1e-24))
+    ng = ng / norm * jnp.where(backface, -1.0, 1.0)[:, None]
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    return Hit(
+        t=jnp.where(miss, -1.0, t),
+        tri=tri,
+        u=jnp.where(miss, 0.0, u),
+        v=jnp.where(miss, 0.0, v),
+        backface=jnp.where(miss, False, backface),
+        ng=jnp.where(miss[:, None], 0.0, ng),
+    )
+
+
 def scene_intersect(meta: SceneMeta, arrays: SceneArrays, ro, rd, t_near, t_far) -> isect.Hit:
     if meta.backend == "bvh":
         bvh = BvhArrays(arrays.bvh_lo, arrays.bvh_hi, arrays.bvh_a, arrays.bvh_b, arrays.tri_order)
         return isect.intersect_bvh(bvh, arrays.positions, ro, rd, t_near, t_far, meta.max_leaf)
     if meta.backend == "pallas":
-        from pim_tpu.render.pallas_kernels import intersect_pallas
+        from pim_tpu.render.pallas_kernels import intersect_pallas_raw
 
-        return intersect_pallas(arrays.tris9, arrays.positions, ro, rd, t_near, t_far)
+        t, tri = intersect_pallas_raw(arrays.tris9, ro, rd, t_near, t_far)
+        return _finalize_hit_fused(arrays, t, tri, ro, rd, t_far)
     return isect.intersect_brute(arrays.positions, ro, rd, t_near, t_far)
 
 
@@ -382,8 +417,15 @@ def build_scene(
             m.flags & MatFlag.REFRACTIVE for m in flat.materials
         ),
         media_enabled=media_enabled,
+        textured=any(
+            (m.albedo_tex >= 0 and tuple(tex_rec[m.albedo_tex][2:]) != (1, 1))
+            or (m.rome_tex >= 0 and tuple(tex_rec[m.rome_tex][2:]) != (1, 1))
+            for m in flat.materials
+        ),
+        has_normal_maps=any(m.normal_tex >= 0 for m in flat.materials),
     )
 
+    from pim_tpu.render.fetch import build_tri_table
     from pim_tpu.render.pallas_kernels import pack_tris
 
     arrays = SceneArrays(
@@ -392,6 +434,7 @@ def build_scene(
         uvs=jnp.asarray(flat.uvs),
         mat_ids=jnp.asarray(flat.mat_ids),
         tris9=pack_tris(flat.positions),
+        tri_table=build_tri_table(flat, flat.materials, tri_to_emit, atlas, tex_rec),
         bvh_lo=jnp.asarray(bvh.node_lo),
         bvh_hi=jnp.asarray(bvh.node_hi),
         bvh_a=jnp.asarray(bvh.node_a),
