@@ -1,8 +1,8 @@
 """Physically-based BRDF building blocks (GGX / Smith / Schlick / Burley).
 
-Counterpart of the reference's src/math/lighting.h, plus the progressive
-split-sum BRDF LUT bake from src/math/lighting.c:86-144.  All functions are
-batched jnp; colors are [..., 3].
+Counterpart of the reference's src/math/lighting.h, plus the split-sum BRDF
+LUT bake from src/math/lighting.c:86-144.  Colors are SoA V3 (vec3.py);
+scalars are flat [N] arrays.
 """
 
 from __future__ import annotations
@@ -12,11 +12,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pim_tpu.math.sampling import (
-    hammersley_2d,
-    sample_ggx_microfacet,
-)
-from pim_tpu.math.vec import EPS, EPS_SQ, PI, dot, lerp, normalize, saturate
+from pim_tpu.math.vec3 import EPS, EPS_SQ, PI, V3, lerp, saturate
 
 K_MIN_DENOM = jnp.float32(1.0 / (1 << 10))
 K_MIN_ALPHA = K_MIN_DENOM
@@ -27,21 +23,27 @@ def brdf_alpha(roughness):
     return jnp.maximum(roughness * roughness, K_MIN_ALPHA)
 
 
-def f_0(albedo, metallic):
+def f_0(albedo: V3, metallic) -> V3:
     """Reflectance at normal incidence (ref lighting.h:69-72)."""
-    return lerp(jnp.float32(0.04), albedo, metallic[..., None])
+    return V3(
+        lerp(jnp.float32(0.04), albedo.x, metallic),
+        lerp(jnp.float32(0.04), albedo.y, metallic),
+        lerp(jnp.float32(0.04), albedo.z, metallic),
+    )
 
 
-def f_90(f0):
+def f_90(f0: V3):
     """Grazing reflectance (ref lighting.h:75-78)."""
-    return saturate(50.0 * jnp.sum(f0 * jnp.float32(0.33), axis=-1))
+    return saturate(50.0 * 0.33 * (f0.x + f0.y + f0.z))
 
 
-def f_schlick(f0, f90, cos_theta):
-    """Schlick fresnel; f0 [..., 3], f90 [...], cosθ [...] (ref lighting.h:90-95)."""
+def f_schlick(f0: V3, f90, cos_theta) -> V3:
+    """Schlick fresnel (ref lighting.h:90-95)."""
     t = 1.0 - cos_theta
     t5 = t * t * t * t * t
-    return lerp(f0, f90[..., None], t5[..., None])
+    return V3(
+        lerp(f0.x, f90, t5), lerp(f0.y, f90, t5), lerp(f0.z, f90, t5)
+    )
 
 
 def f_schlick1(f0, f90, cos_theta):
@@ -52,9 +54,7 @@ def f_schlick1(f0, f90, cos_theta):
 
 def f_dielectric(cos_theta_i, eta_i, eta_t):
     """Exact dielectric fresnel w/ TIR (ref lighting.h:138-162).
-
-    Negative cosθ means transmission side (etas swap).
-    """
+    Negative cosθ = transmission side (etas swap)."""
     cos_theta_i = jnp.clip(cos_theta_i, -1.0, 1.0)
     trans = cos_theta_i < 0.0
     cos_i = jnp.abs(cos_theta_i)
@@ -64,7 +64,6 @@ def f_dielectric(cos_theta_i, eta_i, eta_t):
     sin_t = (ei / et) * sin_i
     tir = sin_t >= 1.0
     cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, EPS_SQ))
-    # denominators are sums of non-negative terms, only guard against 0
     r_parl = ((et * cos_i) - (ei * cos_t)) / jnp.maximum((et * cos_i) + (ei * cos_t), EPS)
     r_perp = ((ei * cos_i) - (et * cos_t)) / jnp.maximum((ei * cos_i) + (et * cos_t), EPS)
     f = saturate((r_parl * r_parl + r_perp * r_perp) * 0.5)
@@ -99,106 +98,134 @@ def fd_burley(nol, nov, hov, roughness):
     return (light_scatter * view_scatter) / PI
 
 
-def diffuse_color(albedo, metallic):
-    return albedo * (1.0 - metallic[..., None])
+def diffuse_color(albedo: V3, metallic) -> V3:
+    return albedo * (1.0 - metallic)
 
 
-def sigma_a_from_reflectance(albedo, beta_n):
+def sigma_a_from_reflectance(albedo: V3, beta_n) -> V3:
     """Chiang et al. color reparameterization (ref lighting.h:193-206)."""
     r2 = beta_n * beta_n
     r3 = r2 * beta_n
     r4 = r3 * beta_n
     r5 = r4 * beta_n
-    t = 5.969 - 0.215 * beta_n + 2.532 * r2 - 10.73 * r3 + 5.574 * r4 + 0.245 * r5
-    sigma = jnp.log(jnp.maximum(albedo, EPS)) / jnp.maximum(t, EPS)[..., None]
-    return sigma * sigma
+    t = jnp.maximum(
+        5.969 - 0.215 * beta_n + 2.532 * r2 - 10.73 * r3 + 5.574 * r4 + 0.245 * r5,
+        EPS,
+    )
+
+    def chan(a):
+        s = jnp.log(jnp.maximum(a, EPS)) / t
+        return s * s
+
+    return V3(chan(albedo.x), chan(albedo.y), chan(albedo.z))
 
 
-def albedo_to_transmittance(albedo, roughness, thickness):
+def albedo_to_transmittance(albedo: V3, roughness, thickness) -> V3:
     """Beer-Lambert interior transmittance (ref lighting.h:208-212)."""
-    sigma_a = sigma_a_from_reflectance(albedo, roughness)
-    return jnp.exp(sigma_a * (-thickness)[..., None])
+    sig = sigma_a_from_reflectance(albedo, roughness)
+    return V3(
+        jnp.exp(-sig.x * thickness),
+        jnp.exp(-sig.y * thickness),
+        jnp.exp(-sig.z * thickness),
+    )
 
 
 # ---------------------------------------------------------------------------
 # Split-sum BRDF LUT (GGX energy compensation).
 # The reference bakes this progressively on the task system
-# (src/math/lighting.c:86-144, cvar r_brdflut_spf); on TPU one jitted
-# QMC integration fills the whole LUT at init in milliseconds.
+# (src/math/lighting.c:86-144); one jitted QMC integration fills the whole
+# LUT at init.
 # ---------------------------------------------------------------------------
 
 
 class BrdfLut(NamedTuple):
-    # texels[..., 0] = integral of F * D * V * NoL ("reflectance")
-    # texels[..., 1] = integral of D * V * NoL     ("visibility")
+    # texels[..., 0] = ∫ Fc·D·V·NoL (dielectric fresnel weighted)
+    # texels[..., 1] = ∫ D·V·NoL
     texels: jnp.ndarray  # [size, size, 2] over (NoV, alpha)
 
 
 def _integrate_brdf(nov, alpha, num_samples: int):
-    """Split-sum integration for one (NoV, alpha) texel.
+    """Split-sum integration for one (NoV, alpha) texel
+    (matches src/math/lighting.c:58-81 under GGX half-vector sampling)."""
+    from pim_tpu.math.sampling import hammersley_2d, sample_ggx_microfacet
 
-    Matches the reference integrand (src/math/lighting.c:58-81):
-      x = ∫ Fc · D·V·NoL   with Fc = dielectric fresnel (air->glass)
-      y = ∫ D·V·NoL
-    under GGX half-vector importance sampling (D/pdf = 4·HoV/NoH).
-    """
-    v = jnp.stack([jnp.sqrt(jnp.maximum(1.0 - nov * nov, 0.0)), jnp.float32(0.0), nov])
+    vx = jnp.sqrt(jnp.maximum(1.0 - nov * nov, 0.0))
     i = jnp.arange(num_samples, dtype=jnp.uint32)
-    xi = hammersley_2d(i, num_samples)  # [S, 2]
-    m = sample_ggx_microfacet(xi, alpha)  # [S, 3] tangent space, N=+Z
-    # L = reflect(-V, m)
-    l = 2.0 * jnp.sum(v * m, axis=-1, keepdims=True) * m - v
-    nol = l[..., 2]
-    noh = saturate(m[..., 2])
-    voh = jnp.sum(v * m, axis=-1)
+    hu, hv = hammersley_2d(i, num_samples)
+    m = sample_ggx_microfacet(hu, hv, alpha)  # V3 of [S]
+    vm = vx * m.x + nov * m.z  # dot(V, m) with V = (vx, 0, nov)
+    # L = reflect(-V, m) => L = 2(V.m)m - V
+    lz = 2.0 * vm * m.z - nov
+    nol = lz
+    noh = saturate(m.z)
+    voh = vm
     valid = nol > EPS
     g = v_smith_correlated(jnp.maximum(nol, 0.0), jnp.maximum(nov, EPS), alpha)
     g_vis = jnp.where(valid, (g * voh * nol * 4.0) / jnp.maximum(noh, EPS), 0.0)
     fc = f_dielectric(voh, jnp.float32(1.000293), jnp.float32(1.52))
-    a = jnp.sum(fc * g_vis)
-    b = jnp.sum(g_vis)
     n = jnp.float32(num_samples)
-    return jnp.stack([a / n, b / n])
+    return jnp.stack([jnp.sum(fc * g_vis) / n, jnp.sum(g_vis) / n])
 
 
 def bake_brdf_lut(size: int = 32, num_samples: int = 1024) -> BrdfLut:
-    """Bake the full split-sum LUT (axes: NoV in x, alpha in y).
-
-    Texel i sits at coordinate i/(size-1) to match the bilinear fetch
-    convention (sampler.h LinearClamp: x = sat(u)*(size-1))."""
+    """Bake the split-sum LUT; texel i at coordinate i/(size-1) to match
+    the bilinear fetch convention (sampler.h LinearClamp)."""
     nov = jnp.clip(jnp.arange(size, dtype=jnp.float32) / (size - 1), EPS, 1.0 - EPS)
     alpha = jnp.clip(jnp.arange(size, dtype=jnp.float32) / (size - 1), K_MIN_ALPHA, 1.0)
-    fn = jax.vmap(jax.vmap(lambda a, n: _integrate_brdf(n, a, num_samples), (None, 0)), (0, None))
+    fn = jax.vmap(
+        jax.vmap(lambda a, n: _integrate_brdf(n, a, num_samples), (None, 0)), (0, None)
+    )
     texels = fn(alpha, nov)  # [alpha, nov, 2]
     return BrdfLut(texels=jnp.swapaxes(texels, 0, 1))  # [nov, alpha, 2]
 
 
 def brdf_lut_sample(lut: BrdfLut, nov, alpha):
-    """Bilinear clamped fetch at (NoV, alpha) (ref lighting.h:52-55)."""
+    """Bilinear clamped fetch at (NoV, alpha) (ref lighting.h:52-55).
+
+    Returns (dvf, dv) as two flat [N] arrays.  Gathers are per-channel from
+    flat planes so no [N, 2] layout ever materializes.
+    """
     size = lut.texels.shape[0]
-    x = jnp.clip(nov * size - 0.5, 0.0, size - 1.0)
-    y = jnp.clip(alpha * size - 0.5, 0.0, size - 1.0)
+    plane0 = lut.texels[..., 0].reshape(-1)
+    plane1 = lut.texels[..., 1].reshape(-1)
+    x = jnp.clip(nov, 0.0, 1.0) * (size - 1)
+    y = jnp.clip(alpha, 0.0, 1.0) * (size - 1)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, size - 1)
     y1 = jnp.minimum(y0 + 1, size - 1)
-    fx = (x - x0.astype(jnp.float32))[..., None]
-    fy = (y - y0.astype(jnp.float32))[..., None]
-    t00 = lut.texels[x0, y0]
-    t10 = lut.texels[x1, y0]
-    t01 = lut.texels[x0, y1]
-    t11 = lut.texels[x1, y1]
-    return lerp(lerp(t00, t10, fx), lerp(t01, t11, fx), fy)
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+
+    i00 = x0 * size + y0
+    i10 = x1 * size + y0
+    i01 = x0 * size + y1
+    i11 = x1 * size + y1
+
+    def bil(plane):
+        t00 = plane[i00]
+        t10 = plane[i10]
+        t01 = plane[i01]
+        t11 = plane[i11]
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        return top + (bot - top) * fy
+
+    return bil(plane0), bil(plane1)
 
 
-def ggx_energy_compensation(lut: BrdfLut, f0, nov, alpha):
+def ggx_energy_compensation(lut: BrdfLut, f0: V3, nov, alpha) -> V3:
     """Multi-scatter energy compensation (ref lighting.h:294-303)."""
-    dv = brdf_lut_sample(lut, nov, alpha)[..., 1]
+    _, dv = brdf_lut_sample(lut, nov, alpha)
     t = (1.0 / jnp.maximum(dv, EPS)) - 1.0
-    return f0 * t[..., None] + 1.0
+    return V3(f0.x * t + 1.0, f0.y * t + 1.0, f0.z * t + 1.0)
 
 
-def env_brdf(lut: BrdfLut, f0, nov, alpha):
+def env_brdf(lut: BrdfLut, f0: V3, nov, alpha) -> V3:
     """Pre-integrated environment BRDF (ref lighting.h:278-291)."""
-    dvf_dv = brdf_lut_sample(lut, nov, alpha)
-    return (1.0 - f0) * dvf_dv[..., 0:1] + f0 * dvf_dv[..., 1:2]
+    dvf, dv = brdf_lut_sample(lut, nov, alpha)
+    return V3(
+        (1.0 - f0.x) * dvf + f0.x * dv,
+        (1.0 - f0.y) * dvf + f0.y * dv,
+        (1.0 - f0.z) * dvf + f0.z * dv,
+    )

@@ -56,3 +56,13 @@ def grid_index(grid: GridSpec, position: jnp.ndarray) -> jnp.ndarray:
     y = jnp.clip(offs[..., 1].astype(jnp.int32), 0, sy - 1)
     z = jnp.clip(offs[..., 2].astype(jnp.int32), 0, sz - 1)
     return x + y * sx + z * (sx * sy)
+
+
+def grid_index_soa(grid: GridSpec, position) -> jnp.ndarray:
+    """SoA V3 position -> clamped flat cell index."""
+    sx, sy, sz = grid.size
+    cpm = jnp.float32(grid.cells_per_meter)
+    x = jnp.clip(((position.x - grid.lo[0]) * cpm).astype(jnp.int32), 0, sx - 1)
+    y = jnp.clip(((position.y - grid.lo[1]) * cpm).astype(jnp.int32), 0, sy - 1)
+    z = jnp.clip(((position.z - grid.lo[2]) * cpm).astype(jnp.int32), 0, sz - 1)
+    return x + y * sx + z * (sx * sy)

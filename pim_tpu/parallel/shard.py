@@ -70,36 +70,9 @@ def make_sharded_render_step(meta: SceneMeta, mesh: Mesh, width: int, height: in
 
 def _raygen_for_pixels(cam: CameraArrays, width: int, height: int, pixel_ids, state):
     """Primary rays for an arbitrary pixel-id subset (sharded raygen)."""
-    from pim_tpu.math.sampling import sample_gauss_pixel_filter, sample_ngon
-    from pim_tpu.math.vec import lerp, normalize
-    from pim_tpu.render.camera import proj_dir
+    from pim_tpu.render.camera import generate_primary_rays
 
-    i = pixel_ids.astype(jnp.int32)
-    rcp = jnp.asarray([1.0 / width, 1.0 / height], jnp.float32)
-    base_uv = jnp.stack(
-        [
-            ((i % width).astype(jnp.float32) + 0.5) / width,
-            ((i // width).astype(jnp.float32) + 0.5) / height,
-        ],
-        axis=-1,
-    )
-    state, xi_aa = rng.next_f32x2(state)
-    aa = sample_gauss_pixel_filter(xi_aa, 1.0)
-    coord = (base_uv + aa * rcp) * 2.0 - 1.0
-    rd = proj_dir(cam.right, cam.up, cam.fwd, (cam.slope[0], cam.slope[1]), coord)
-    ro = jnp.broadcast_to(cam.eye, rd.shape)
-
-    state, side = rng.next_u32(state)
-    state, xi = rng.next_f32x2(state)
-    offset = sample_ngon(xi, side, 5, jnp.float32(np.pi / 10.0)) * cam.aperture
-    t = lerp(
-        cam.focal_length / jnp.sum(rd * cam.fwd, axis=-1, keepdims=True),
-        cam.focal_length,
-        cam.focal_curvature,
-    )
-    focus = ro + rd * t
-    ap = ro + cam.right * offset[..., 0:1] + cam.up * offset[..., 1:2]
-    return state, ap, normalize(focus - ap)
+    return generate_primary_rays(cam, width, height, state, pixel_ids=pixel_ids)
 
 
 def make_sharded_train_step(meta: SceneMeta, mesh: Mesh, width: int, height: int,

@@ -1,4 +1,4 @@
-"""Principled BSDF: evaluation and sampling, batched over ray lanes.
+"""Principled BSDF: evaluation and sampling, SoA over flat [N] lanes.
 
 Counterpart of Eval/Scatter_{Diffuse,Specular,Refractive,Principled}
 (ref: src/rendering/path_tracer.c:1476-1707).  The principled surface is a
@@ -6,11 +6,9 @@ stochastic lobe mix: specular weight lerp(0.5, 1.0, metallic), the rest
 diffuse; refractive materials switch to a GGX-microfacet dielectric with
 Beer-Lambert interior transmittance.
 
-All functions are branch-free over [N] lanes; per-lane discrete decisions
-(lobe choice, reflect-vs-refract) are `where`-selected, matching what the
-per-pixel C code does with `if`s.  Gradient note: lobe/termination decisions
-are detached (they depend on uniforms only); the returned radiance weights
-stay differentiable w.r.t. material parameters.
+All per-lane discrete decisions (lobe choice, reflect-vs-refract) are
+`where`-selected; gradient flow stays on the radiance weights (lobe
+decisions depend only on uniforms and are naturally detached).
 """
 
 from __future__ import annotations
@@ -40,24 +38,34 @@ from pim_tpu.math.sampling import (
     sample_ggx_microfacet,
     tan_to_world,
 )
-from pim_tpu.math.vec import EPS, MILLI, dot, dotsat, lerp, normalize, reflect, refract
+from pim_tpu.math.vec3 import (
+    EPS,
+    MILLI,
+    V3,
+    dot,
+    dotsat,
+    lerp,
+    lerp3,
+    normalize,
+    reflect,
+    refract,
+    where3,
+)
 from pim_tpu.render.surface import Surface, fix_shading_normal
 
 
 class Scatter(NamedTuple):
     """One BSDF sample (ref PtScatter :74-81)."""
 
-    pos: jnp.ndarray          # [N, 3]
-    dir: jnp.ndarray          # [N, 3]
-    attenuation: jnp.ndarray  # [N, 3] brdf * NoL
-    pdf: jnp.ndarray          # [N]
-    # luminance only used by media scattering
-    luminance: jnp.ndarray    # [N, 3]
+    pos: V3
+    dir: V3
+    attenuation: V3  # brdf * NoL
+    pdf: jnp.ndarray
 
 
-def eval_diffuse(surf: Surface, i, l):
+def eval_diffuse(surf: Surface, i: V3, l: V3):
     """Burley diffuse eval (ref Eval_Diffuse :1476-1497).
-    Returns (attenuation [N,3], pdf [N])."""
+    Returns (attenuation V3, pdf [N])."""
     n = surf.n
     nol = dot(n, l)
     pdf = lambert_pdf(nol)
@@ -66,15 +74,12 @@ def eval_diffuse(surf: Surface, i, l):
     h = normalize(v + l)
     hov = dotsat(h, v)
     nov = dotsat(n, v)
-    fd = surf.albedo * fd_burley(nol, nov, hov, surf.roughness)[..., None]
-    atten = fd * nol[..., None]
-    return (
-        jnp.where(valid[..., None], atten, 0.0),
-        jnp.where(valid, pdf, 0.0),
-    )
+    s = fd_burley(nol, nov, hov, surf.roughness) * nol
+    s = jnp.where(valid, s, 0.0)
+    return surf.albedo * s, jnp.where(valid, pdf, 0.0)
 
 
-def eval_specular(lut: BrdfLut, surf: Surface, i, l):
+def eval_specular(lut: BrdfLut, surf: Surface, i: V3, l: V3):
     """GGX specular eval with energy compensation (ref Eval_Specular
     :1516-1548)."""
     n = surf.n
@@ -87,21 +92,19 @@ def eval_specular(lut: BrdfLut, surf: Surface, i, l):
     pdf = ggx_pdf(noh, hov, alpha)
     valid = (nol > EPS) & (pdf > EPS)
     nov = dotsat(n, v)
-    f_d = f_dielectric(hov, jnp.float32(1.0), jnp.float32(1.5))
+    f_d = jnp.clip(f_dielectric(hov, jnp.float32(1.0), jnp.float32(1.5)), 0.0, 1.0)
     f0 = f_0(surf.albedo, surf.metallic)
-    f = lerp(f0, f_90(f0)[..., None], jnp.clip(f_d, 0.0, 1.0)[..., None])
+    f90 = f_90(f0)
+    f = V3(lerp(f0.x, f90, f_d), lerp(f0.y, f90, f_d), lerp(f0.z, f90, f_d))
     d = d_gtr(noh, alpha)
     g = v_smith_correlated(nol, nov, alpha)
-    fr = f * (d * g)[..., None]
-    fr = fr * ggx_energy_compensation(lut, f0, nov, alpha)
-    atten = fr * nol[..., None]
-    return (
-        jnp.where(valid[..., None], atten, 0.0),
-        jnp.where(valid, pdf, 0.0),
-    )
+    comp = ggx_energy_compensation(lut, f0, nov, alpha)
+    s = jnp.where(valid, d * g * nol, 0.0)
+    atten = f * comp * s
+    return atten, jnp.where(valid, pdf, 0.0)
 
 
-def eval_principled(lut: BrdfLut, surf: Surface, i, l):
+def eval_principled(lut: BrdfLut, surf: Surface, i: V3, l: V3):
     """Mixed-lobe eval for NEE (ref Eval_Principled :1641-1668).
     Refractive lanes evaluate to zero."""
     nol = dot(surf.n, l)
@@ -109,93 +112,75 @@ def eval_principled(lut: BrdfLut, surf: Surface, i, l):
     amt_diff = 1.0 - amt_spec
     spec_a, spec_p = eval_specular(lut, surf, i, l)
     diff_a, diff_p = eval_diffuse(surf, i, l)
-    atten = lerp(spec_a, diff_a, amt_diff[..., None])
+    atten = lerp3(spec_a, diff_a, amt_diff)
     pdf = lerp(spec_p, diff_p, amt_diff)
     refractive = (surf.flags & int(MatFlag.REFRACTIVE)) != 0
     dead = refractive | (nol <= EPS)
+    zero = jnp.float32(0.0)
     return (
-        jnp.where(dead[..., None], 0.0, atten),
+        where3(dead, V3(zero, zero, zero), atten),
         jnp.where(dead, 0.0, pdf),
     )
 
 
-def _scatter_specular(lut, surf: Surface, i, xi):
-    """GGX importance sample (ref Scatter_Specular :1550-1565)."""
-    alpha = brdf_alpha(surf.roughness)
-    m = tan_to_world(surf.n, sample_ggx_microfacet(xi, alpha))
-    m = fix_shading_normal(surf.m, m)
-    l = reflect(i, m)
-    atten, pdf = eval_specular(lut, surf, i, l)
-    return l, atten, pdf
+def scatter_principled(lut: BrdfLut, surf: Surface, i: V3, state, occluded_fn=None):
+    """One-sample lobe-mixed BSDF sample (ref Scatter_Principled :1670-1707).
+    Returns (state, Scatter).
 
-
-def _scatter_diffuse(surf: Surface, i, xi):
-    """Cosine-hemisphere sample (ref Scatter_Diffuse :1499-1514)."""
-    l = tan_to_world(surf.n, sample_cosine_hemisphere(xi))
-    atten, pdf = eval_diffuse(surf, i, l)
-    return l, atten, pdf
-
-
-def scatter_principled(lut: BrdfLut, surf: Surface, i, state, occluded_fn=None):
-    """One-sample lobe-mixed BSDF sample (ref Scatter_Principled
-    :1670-1707).  Returns (state, Scatter).
-
-    `occluded_fn(ro, rd) -> t_hit` supplies the interior thickness probe for
-    refractive transmission; pass None for scenes without refractive
-    materials (compile-time skip).
+    `occluded_fn(ro V3, rd V3) -> t_hit [N]` supplies the interior-thickness
+    probe for refractive transmission; None compiles the refractive path out.
     """
     state, u_lobe = rng.next_f32(state)
-    state, xi = rng.next_f32x2(state)
+    state, (xu, xv) = rng.next_f32x2(state)
     amt_spec = lerp(jnp.float32(0.5), jnp.float32(1.0), surf.metallic)
     amt_diff = 1.0 - amt_spec
     use_spec = u_lobe < amt_spec
 
-    # both lobes share the same 2D draw; lanes select their branch
-    l_spec, a_spec, p_spec = _scatter_specular(lut, surf, i, xi)
-    l_diff, a_diff, p_diff = _scatter_diffuse(surf, i, xi)
+    # specular sample (ref Scatter_Specular :1550-1565)
+    alpha = brdf_alpha(surf.roughness)
+    m = tan_to_world(surf.n, sample_ggx_microfacet(xu, xv, alpha))
+    m = fix_shading_normal(surf.m, m)
+    l_spec = reflect(i, m)
+    # diffuse sample (ref Scatter_Diffuse :1499-1514), same 2D draw
+    l_diff = tan_to_world(surf.n, sample_cosine_hemisphere(xu, xv))
 
-    l = jnp.where(use_spec[..., None], l_spec, l_diff)
-    # cross-evaluate the other lobe at the chosen direction
-    e_diff_a, e_diff_p = eval_diffuse(surf, i, l)
+    l = where3(use_spec, l_spec, l_diff)
+    # evaluate both lobes at the chosen direction (one-sample MIS mix)
     e_spec_a, e_spec_p = eval_specular(lut, surf, i, l)
+    e_diff_a, e_diff_p = eval_diffuse(surf, i, l)
 
-    atten_spec_branch = lerp(a_spec, e_diff_a, amt_diff[..., None])
-    pdf_spec_branch = lerp(p_spec, e_diff_p, amt_diff)
-    atten_diff_branch = lerp(a_diff, e_spec_a, amt_spec[..., None])
-    pdf_diff_branch = lerp(p_diff, e_spec_p, amt_spec)
+    atten_spec_branch = lerp3(e_spec_a, e_diff_a, amt_diff)
+    pdf_spec_branch = lerp(e_spec_p, e_diff_p, amt_diff)
+    atten_diff_branch = lerp3(e_diff_a, e_spec_a, amt_spec)
+    pdf_diff_branch = lerp(e_diff_p, e_spec_p, amt_spec)
 
-    atten = jnp.where(use_spec[..., None], atten_spec_branch, atten_diff_branch)
+    atten = where3(use_spec, atten_spec_branch, atten_diff_branch)
     pdf = jnp.where(use_spec, pdf_spec_branch, pdf_diff_branch)
     pos = surf.p
-    lum = jnp.zeros_like(atten)
 
-    refractive = (surf.flags & int(MatFlag.REFRACTIVE)) != 0
     if occluded_fn is not None:
         state, refr = _scatter_refractive(surf, i, state, occluded_fn)
-        pos = jnp.where(refractive[..., None], refr.pos, pos)
-        l = jnp.where(refractive[..., None], refr.dir, l)
-        atten = jnp.where(refractive[..., None], refr.attenuation, atten)
+        refractive = (surf.flags & int(MatFlag.REFRACTIVE)) != 0
+        pos = where3(refractive, refr.pos, pos)
+        l = where3(refractive, refr.dir, l)
+        atten = where3(refractive, refr.attenuation, atten)
         pdf = jnp.where(refractive, refr.pdf, pdf)
 
-    return state, Scatter(pos=pos, dir=l, attenuation=atten, pdf=pdf, luminance=lum)
+    return state, Scatter(pos=pos, dir=l, attenuation=atten, pdf=pdf)
 
 
-def _scatter_refractive(surf: Surface, i, state, thickness_fn):
+def _scatter_refractive(surf: Surface, i: V3, state, thickness_fn):
     """GGX microfacet dielectric with Beer-Lambert interior transmittance
-    (ref Scatter_Refractive :1576-1638).
-
-    thickness_fn(ro, rd) -> t of the next surface along the refracted ray
-    (the interior chord length); <0 when nothing is hit.
-    """
+    (ref Scatter_Refractive :1576-1638)."""
     eta_i = jnp.float32(1.000277)
     eta_t = jnp.maximum(1.0, surf.ior)
     alpha = brdf_alpha(surf.roughness)
 
-    state, xi = rng.next_f32x2(state)
+    state, (xu, xv) = rng.next_f32x2(state)
     state, u_fresnel = rng.next_f32(state)
 
     v = -i
-    m = tan_to_world(surf.n, sample_ggx_microfacet(xi, alpha))
+    m = tan_to_world(surf.n, sample_ggx_microfacet(xu, xv, alpha))
     m = fix_shading_normal(surf.m, m)
     entering = ~surf.backface
 
@@ -205,29 +190,19 @@ def _scatter_refractive(surf: Surface, i, state, thickness_fn):
     do_reflect = u_fresnel < fres
     l_reflect = reflect(i, m)
     k = jnp.where(entering, eta_i / eta_t, eta_t / eta_i)
-    l_refract = refract(i, m, k[..., None])
-    # guard TIR zeros
-    tir = jnp.sum(l_refract * l_refract, -1) < 1e-8
-    l_refract = jnp.where(tir[..., None], l_reflect, l_refract)
-    l = jnp.where(do_reflect[..., None], l_reflect, l_refract)
+    l_refract = refract(i, m, k)
+    tir = dot(l_refract, l_refract) < 1e-8
+    l_refract = where3(tir, l_reflect, l_refract)
+    l = where3(do_reflect, l_reflect, l_refract)
     pdf = jnp.where(do_reflect, fres, 1.0 - fres)
 
-    # offset below the surface when the ray passes through
     below = dot(l, surf.m) < 0.0
-    pos = jnp.where(
-        below[..., None], surf.p - surf.m * (MILLI * 0.1), surf.p
-    )
+    pos = where3(below, surf.p - surf.m * (MILLI * 0.1), surf.p)
 
-    # Beer-Lambert through the interior for entering refraction
     refracting_in = (~do_reflect) & entering & ~tir
     t_hit = thickness_fn(pos, l)
     thickness = jnp.where(t_hit >= 0.0, jnp.maximum(t_hit, EPS), jnp.float32(1e6))
     tr = albedo_to_transmittance(surf.albedo, surf.roughness, thickness)
-    atten = jnp.where(
-        refracting_in[..., None], tr * pdf[..., None],
-        jnp.broadcast_to(pdf[..., None], tr.shape),
-    )
+    atten = where3(refracting_in, tr * pdf, V3(pdf, pdf, pdf))
 
-    return state, Scatter(
-        pos=pos, dir=l, attenuation=atten, pdf=pdf, luminance=jnp.zeros_like(atten)
-    )
+    return state, Scatter(pos=pos, dir=l, attenuation=atten, pdf=pdf)

@@ -15,7 +15,7 @@ import numpy as np
 
 from pim_tpu.core import rng
 from pim_tpu.math.sampling import sample_gauss_pixel_filter, sample_ngon, sample_pentagram
-from pim_tpu.math.vec import MILLI, PI, lerp, normalize
+from pim_tpu.math.vec3 import MILLI, PI, lerp
 
 
 # --- quaternion helpers (host-side; np) ------------------------------------
@@ -133,10 +133,12 @@ def proj_slope(fov_y_radians: float, aspect: float):
 
 
 def proj_dir(right, up, fwd, slope, coord):
-    """Screen coord [-1,1]^2 [..., 2] -> unit world ray dir (frustum.h:33-47)."""
+    """Screen coord [-1,1]^2 [..., 2] -> unit world ray dir (frustum.h:33-47).
+    AoS helper for host-side/np use."""
     x = coord[..., 0:1] * slope[0]
     y = coord[..., 1:2] * slope[1]
-    return normalize(fwd + right * x + up * y)
+    d = fwd + right * x + up * y
+    return d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
 
 
 class CameraArrays(NamedTuple):
@@ -175,42 +177,60 @@ def camera_arrays(camera: Camera, dof: DofInfo, width: int, height: int,
 def generate_primary_rays(cam: CameraArrays, width: int, height: int,
                           state, blade_count: int = 5,
                           blade_rot: float = float(np.pi / 10.0),
-                          enable_dof: bool = True):
-    """Per-pixel primary rays with gaussian AA jitter + bokeh DoF.
+                          enable_dof: bool = True, pixel_ids=None):
+    """Per-pixel primary rays with gaussian AA jitter + bokeh DoF (SoA).
 
     Replicates TraceFn's raygen (path_tracer.c:2539-2548).  `state` is a
-    [N, 4] rng state (N = width*height); returns (state, ro [N,3], rd [N,3]).
+    rng.RngState; returns (state, ro V3, rd V3).  `pixel_ids` optionally
+    selects a subset/shard of the pixel index space.
     """
-    n = width * height
-    i = jnp.arange(n, dtype=jnp.int32)
+    from pim_tpu.math.vec3 import V3, normalize as nrm3, where3
+
+    if pixel_ids is None:
+        i = jnp.arange(width * height, dtype=jnp.int32)
+    else:
+        i = pixel_ids.astype(jnp.int32)
     cx = (i % width).astype(jnp.float32)
     cy = (i // width).astype(jnp.float32)
-    rcp = jnp.asarray([1.0 / width, 1.0 / height], jnp.float32)
-    base_uv = jnp.stack([(cx + 0.5) / width, (cy + 0.5) / height], axis=-1)
 
-    state, xi_aa = rng.next_f32x2(state)
-    aa = sample_gauss_pixel_filter(xi_aa, 1.0)
-    uv = base_uv + aa * rcp
-    coord = uv * 2.0 - 1.0  # f2_snorm
-    rd = proj_dir(cam.right, cam.up, cam.fwd, (cam.slope[0], cam.slope[1]), coord)
-    ro = jnp.broadcast_to(cam.eye, rd.shape)
+    state, (au, av) = rng.next_f32x2(state)
+    aax, aay = sample_gauss_pixel_filter(au, av, 1.0)
+    u = (cx + 0.5 + aax) / width
+    v = (cy + 0.5 + aay) / height
+    sx = (u * 2.0 - 1.0) * cam.slope[0]
+    sy = (v * 2.0 - 1.0) * cam.slope[1]
+
+    right = V3(cam.right[0], cam.right[1], cam.right[2])
+    up = V3(cam.up[0], cam.up[1], cam.up[2])
+    fwd = V3(cam.fwd[0], cam.fwd[1], cam.fwd[2])
+    eye = V3(
+        jnp.broadcast_to(cam.eye[0], i.shape),
+        jnp.broadcast_to(cam.eye[1], i.shape),
+        jnp.broadcast_to(cam.eye[2], i.shape),
+    )
+
+    rd = nrm3(fwd + right * sx + up * sy)
+    ro = eye
 
     if enable_dof:
         state, side = rng.next_u32(state)
-        state, xi = rng.next_f32x2(state)
+        state, (xu, xv) = rng.next_f32x2(state)
         if blade_count == 666:
-            offset = sample_pentagram(xi, side)
+            offx, offy = sample_pentagram(xu, xv, side)
         else:
-            offset = sample_ngon(xi, side, blade_count, jnp.float32(blade_rot))
-        offset = offset * cam.aperture
+            offx, offy = sample_ngon(xu, xv, side, blade_count, jnp.float32(blade_rot))
+        offx = offx * cam.aperture
+        offy = offy * cam.aperture
+        from pim_tpu.math.vec3 import dot as dot3
+
         t = lerp(
-            cam.focal_length / jnp.sum(rd * cam.fwd, axis=-1, keepdims=True),
+            cam.focal_length / dot3(rd, fwd),
             cam.focal_length,
             cam.focal_curvature,
         )
-        focus_pos = ro + rd * t
-        aperture_pos = ro + cam.right * offset[..., 0:1] + cam.up * offset[..., 1:2]
+        focus = ro + rd * t
+        aperture_pos = ro + right * offx + up * offy
         ro = aperture_pos
-        rd = normalize(focus_pos - aperture_pos)
+        rd = nrm3(focus - aperture_pos)
 
     return state, ro, rd

@@ -1,12 +1,12 @@
-"""Attribute fetch strategies: one-hot MXU matmul vs gather.
+"""Attribute fetch strategies: one-hot MXU matmul vs gather (SoA layout).
 
-Measured on TPU v5e (see git history): a data-dependent row gather in the
-middle of the frame program costs ~1 ms per 262k lanes, while a one-hot
-matmul against a small table fetches *dozens* of attribute columns in under
-2 ms total — the MXU eats the lookup.  So every per-hit attribute lives in
-ONE fused [T, F] table and is fetched with ONE one-hot matmul; plain
-gathers remain only for large tables (big scenes route through the Pallas
-kernels instead).
+Measured on TPU v5e (see git history): data-dependent row gathers producing
+[N, k] outputs are catastrophically slow (trailing-small-dim layouts), and
+scattered lookups serialize.  So every per-hit attribute lives in ONE fused
+TRANSPOSED [F, T] table, fetched as `table_T @ onehot[T, N]` — a single MXU
+matmul yielding an [F, N] block whose row slices are perfectly-tiled [N]
+arrays.  Plain gathers remain for large tables (big scenes route through
+Pallas kernels instead).
 """
 
 from __future__ import annotations
@@ -14,30 +14,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# above this many rows the one-hot operand's HBM traffic outweighs the win
+# above this many rows, one-hot HBM traffic outweighs the win
 ONEHOT_MAX_ROWS = 1024
 
 
-def fetch_rows(table: jnp.ndarray, idx: jnp.ndarray, force_gather: bool = False):
-    """table [T, F], idx int [...] -> [..., F]."""
-    rows = table.shape[0]
-    if force_gather or rows > ONEHOT_MAX_ROWS:
-        return table[idx]
-    oh = jax.nn.one_hot(idx, rows, dtype=table.dtype)
-    return jnp.dot(oh, table, preferred_element_type=table.dtype)
+def fetch_cols(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table_t [F, T], idx int [N] -> [F, N] (columns of the table)."""
+    t = table_t.shape[1]
+    if t > ONEHOT_MAX_ROWS:
+        return table_t[:, idx]
+    oh = jax.nn.one_hot(idx, t, dtype=table_t.dtype, axis=0)  # [T, N]
+    return jnp.dot(table_t, oh, preferred_element_type=table_t.dtype)
 
 
 def select_columns(rows: jnp.ndarray, col_idx: jnp.ndarray):
-    """rows [..., F], col_idx int [...] -> [...]: lane-local column pick via
-    a small one-hot multiply (avoids a gather)."""
-    f = rows.shape[-1]
-    oh = jax.nn.one_hot(col_idx, f, dtype=rows.dtype)
-    return jnp.sum(rows * oh, axis=-1)
+    """rows [F, N], col_idx int [N] in [0, F) -> [N]: per-lane row select
+    via a small one-hot multiply (no gather)."""
+    f = rows.shape[0]
+    oh = jax.nn.one_hot(col_idx, f, dtype=rows.dtype, axis=0)  # [F, N]
+    return jnp.sum(rows * oh, axis=0)
 
 
 # ---------------------------------------------------------------------------
-# The fused per-triangle attribute table.
-# Layout (float32 columns; ints are exact in f32 below 2^24):
+# The fused per-triangle attribute table, stored TRANSPOSED [48, T].
+# Row indices (ints are exact in f32 below 2^24):
 # ---------------------------------------------------------------------------
 PA = slice(0, 3)        # vertex A position
 PB = slice(3, 6)
@@ -59,11 +59,18 @@ NORMAL_TEX = 40
 MAT_ID = 41
 AREA = 42
 EMIT_IDX = 43           # -1 when not emissive
-TRI_TABLE_COLS = 48     # padded to a multiple of 8
+TRI_TABLE_ROWS = 48     # padded to a multiple of 8
+
+
+def v3_rows(block: jnp.ndarray, sl: slice):
+    """[F, N] block + 3-row slice -> V3 of [N]."""
+    from pim_tpu.math.vec3 import V3
+
+    return V3(block[sl.start], block[sl.start + 1], block[sl.start + 2])
 
 
 def build_tri_table(flat, mats, tri_to_emit, atlas, tex_rec) -> jnp.ndarray:
-    """Host-side build of the [T, 48] fused attribute table.
+    """Host-side build of the fused attribute table, TRANSPOSED [48, T].
 
     Flat (1x1) textures are inlined as constants; textured materials store
     their atlas ids and get sampled through the atlas path.
@@ -71,9 +78,9 @@ def build_tri_table(flat, mats, tri_to_emit, atlas, tex_rec) -> jnp.ndarray:
     import numpy as np
 
     tri_count = flat.mat_ids.shape[0]
-    t = np.zeros((max(tri_count, 1), TRI_TABLE_COLS), np.float32)
+    t = np.zeros((max(tri_count, 1), TRI_TABLE_ROWS), np.float32)
     if tri_count == 0:
-        return jnp.asarray(t)
+        return jnp.asarray(t.T)
     pos = flat.positions.reshape(tri_count, 3, 3)
     nrm = flat.normals.reshape(tri_count, 3, 3)
     uv = flat.uvs.reshape(tri_count, 3, 2)
@@ -113,4 +120,4 @@ def build_tri_table(flat, mats, tri_to_emit, atlas, tex_rec) -> jnp.ndarray:
     e2 = pos[:, 2] - pos[:, 0]
     t[:, AREA] = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
     t[:, EMIT_IDX] = tri_to_emit.astype(np.float32)
-    return jnp.asarray(t)
+    return jnp.asarray(t.T)  # [48, T]

@@ -1,4 +1,4 @@
-"""The wavefront path-tracing integrator.
+"""The wavefront path-tracing integrator (SoA lanes).
 
 Counterpart of Pt_TraceRay / TraceFn / Pt_Trace (ref: src/rendering/
 path_tracer.c:2306-2585) — redesigned for the TPU execution model:
@@ -7,23 +7,20 @@ path_tracer.c:2306-2585) — redesigned for the TPU execution model:
   ---------------------------    ------------------------------------------
   per-pixel while(bounce) loop   `lax.scan` over bounce index, all rays in
                                  lockstep with an `alive` mask
-  64 worker threads              one dense [N]-lane wavefront; N = W*H (or a
-                                 shard of it under shard_map)
-  per-thread PCG stream          per-ray counter RNG (pixel, sample)-keyed
-  Russian roulette `break`       RR folds into the alive mask; the scan
-                                 runs max_bounces iterations but dead lanes
-                                 do no memory traffic thanks to XLA masking
+  64 worker threads              one dense [N]-lane wavefront (or a shard)
+  per-thread PCG stream          per-ray counter RNG, (pixel, sample)-keyed
+  Russian roulette `break`       RR folds into the alive mask
   atomic light histogram         scatter-add into the carried [G, E] tensor
+  float4 SIMD values             SoA V3 over flat [N] arrays (vec3.py)
 
-Radiance math is bit-comparable per lane: RR scaling, NEE MIS weights,
+Radiance math is line-comparable per lane: RR scaling, NEE MIS weights,
 emission gating on bounce==0 / prev-refractive, and the albedo/normal AOV
-weighting all follow the reference line-for-line (cited inline).
+weighting all follow the reference (cited inline).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +28,17 @@ import jax.numpy as jnp
 from pim_tpu.core import rng
 from pim_tpu.geom.material import MatFlag
 from pim_tpu.math.brdf import BrdfLut
-from pim_tpu.math.color import avg_lum
-from pim_tpu.math.vec import EPS, PI, RCP_EPS, TAU, dot, normalize, saturate
+from pim_tpu.math.grid import grid_index_soa
+from pim_tpu.math.vec3 import (
+    EPS,
+    PI,
+    RCP_EPS,
+    V3,
+    avg_lum3,
+    saturate,
+    where3,
+)
+from pim_tpu.render import fetch as F
 from pim_tpu.render.bsdf import scatter_principled
 from pim_tpu.render.lights import estimate_direct, light_on_hit
 from pim_tpu.render.scene import (
@@ -45,50 +51,52 @@ from pim_tpu.render.surface import fetch_hit_attribs, get_surface
 
 
 class TraceResult(NamedTuple):
-    color: jnp.ndarray    # [N, 3] radiance
+    color: jnp.ndarray    # [N, 3] radiance (AoS at the API edge)
     albedo: jnp.ndarray   # [N, 3] AOV
     normal: jnp.ndarray   # [N, 3] AOV
     live: jnp.ndarray     # [G, E] u32 light-learning histogram delta
-    rays_traced: jnp.ndarray  # scalar i64-ish f32: total rays actually cast
+    rays_traced: jnp.ndarray  # scalar f32: total rays actually cast
 
 
-def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd):
+def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd: V3) -> V3:
     if meta.has_sky:
-        from pim_tpu.render.sky import sample_sky_cubemap
+        from pim_tpu.render.sky import sample_sky_cubemap_soa
 
-        return sample_sky_cubemap(arrays.sky, rd)
-    return jnp.zeros_like(rd)
+        return sample_sky_cubemap_soa(arrays.sky, rd)
+    return V3.zeros(rd.x.shape)
 
 
 def trace_rays(
     meta: SceneMeta,
     arrays: SceneArrays,
     lights: LightState,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
-    state: jnp.ndarray,
+    ro,
+    rd,
+    state,
     max_bounces: int,
 ) -> TraceResult:
     """Trace a batch of rays to completion.
 
-    ro/rd: [N, 3]; state: [N, 4] per-ray rng.  Returns radiance + AOVs and
-    the light-histogram delta to be folded into LightState.
+    ro/rd: V3 of [N] (or [N, 3] arrays, converted); state: rng.RngState.
     """
-    n = ro.shape[0]
+    if not isinstance(ro, V3):
+        ro = V3.from_aos(ro)
+    if not isinstance(rd, V3):
+        rd = V3.from_aos(rd)
+    n = ro.x.shape[0]
     lut = BrdfLut(texels=arrays.brdf_lut)
-
     g, e = lights.live.shape
 
     init = dict(
         ro=ro,
         rd=rd,
         state=state,
-        lum=jnp.zeros((n, 3), jnp.float32),
-        atten=jnp.ones((n, 3), jnp.float32),
+        lum=V3.zeros((n,)),
+        atten=V3.ones((n,)),
         alive=jnp.ones((n,), bool),
         prev_refractive=jnp.zeros((n,), bool),
-        aov_albedo=jnp.zeros((n, 3), jnp.float32),
-        aov_normal=jnp.zeros((n, 3), jnp.float32),
+        aov_albedo=V3.zeros((n,)),
+        aov_normal=V3.zeros((n,)),
         aov_weight=jnp.zeros((n,), jnp.float32),
         live=jnp.zeros((g, e), jnp.uint32),
         rays=jnp.float32(0.0),
@@ -103,12 +111,11 @@ def trace_rays(
         lum = carry["lum"]
 
         # --- Russian roulette (ref :2319-2331) -----------------------------
-        p = saturate(avg_lum(atten))
+        p = saturate(avg_lum3(atten))
         state, u_rr = rng.next_f32(state)
         survive = u_rr < p
-        atten = jnp.where(
-            (alive & survive)[..., None], atten / jnp.maximum(p, EPS)[..., None], atten
-        )
+        scale = jnp.where(alive & survive, 1.0 / jnp.maximum(p, EPS), 1.0)
+        atten = atten * scale
         alive = alive & survive
 
         # --- extend ray (ref :2333) ----------------------------------------
@@ -118,10 +125,10 @@ def trace_rays(
 
         # miss -> sky + die (ref :2334-2339)
         sky = _sky_radiance(meta, arrays, rd)
-        add_sky = alive & missed
-        lum = lum + jnp.where(add_sky[..., None], atten * sky, 0.0)
+        add_sky = (alive & missed).astype(jnp.float32)
+        lum = lum + atten * sky * add_sky
 
-        # --- fused surface fetch (ref :2369; one one-hot matmul) -----------
+        # --- fused surface fetch (one one-hot matmul; ref :2369) -----------
         at = fetch_hit_attribs(meta, arrays, hit)
 
         # backface of a non-refractive surface -> die (ref :2340-2343)
@@ -134,11 +141,8 @@ def trace_rays(
         # light learning (ref :2370-2373, only bounce > 0)
         live = carry["live"]
         if e > 0:
-            from pim_tpu.math.grid import grid_index
-            from pim_tpu.render import fetch as F
-
-            cell = grid_index(meta.grid_spec(arrays.grid_lo), ro)
-            emit = at.rows[:, F.EMIT_IDX].astype(jnp.int32)
+            cell = grid_index_soa(meta.grid_spec(arrays.grid_lo), ro)
+            emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
             live = jax.lax.cond(
                 b > 0,
                 lambda lv: light_on_hit(meta, lv, cell, emit, surf.emission, alive),
@@ -148,19 +152,19 @@ def trace_rays(
 
         # emission only on primary hits or through refractive chains
         # (ref :2375-2378)
-        emit_vis = alive & ((b == 0) | carry["prev_refractive"])
-        lum = lum + jnp.where(emit_vis[..., None], surf.emission * atten, 0.0)
+        emit_vis = (alive & ((b == 0) | carry["prev_refractive"])).astype(jnp.float32)
+        lum = lum + surf.emission * atten * emit_vis
 
         # sky-flagged surface terminates (ref :2379-2382)
         is_sky_surf = (surf.flags & int(MatFlag.SKY)) != 0
         alive = alive & ~is_sky_surf
 
         # --- NEE (ref :2384-2387) ------------------------------------------
-        rays = rays + jnp.sum(alive.astype(jnp.float32))  # the NEE ray
+        rays = rays + jnp.sum(alive.astype(jnp.float32))
         state, li = estimate_direct(
             meta, arrays, lights, lut, surf, hit.tri, rd, state
         )
-        lum = lum + jnp.where(alive[..., None], li * atten, 0.0)
+        lum = lum + li * atten * alive.astype(jnp.float32)
 
         # --- continuation scatter (ref :2389-2398) -------------------------
         if meta.has_refractive:
@@ -171,20 +175,17 @@ def trace_rays(
             thickness_fn = None
         state, scat = scatter_principled(lut, surf, rd, state, occluded_fn=thickness_fn)
         cont = alive & (scat.pdf > EPS)
-        new_atten = atten * scat.attenuation / jnp.maximum(scat.pdf, EPS)[..., None]
-        atten = jnp.where(cont[..., None], new_atten, atten)
-        ro = jnp.where(cont[..., None], scat.pos, ro)
-        rd = jnp.where(cont[..., None], scat.dir, rd)
-        prev_refractive = jnp.where(
-            cont, (surf.flags & int(MatFlag.REFRACTIVE)) != 0, False
-        )
+        inv_pdf = 1.0 / jnp.maximum(scat.pdf, EPS)
+        atten = where3(cont, atten * scat.attenuation * inv_pdf, atten)
+        ro = where3(cont, scat.pos, ro)
+        rd = where3(cont, scat.dir, rd)
+        prev_refractive = cont & ((surf.flags & int(MatFlag.REFRACTIVE)) != 0)
         alive = cont
 
         # --- AOV accumulation (ref :2400-2406) -----------------------------
-        a_scaled = atten * (1.0 / PI)
-        w = saturate(1.0 - avg_lum(a_scaled)) * alive.astype(jnp.float32)
-        aov_albedo = carry["aov_albedo"] + surf.albedo * w[..., None]
-        aov_normal = carry["aov_normal"] + surf.n * w[..., None]
+        w = saturate(1.0 - avg_lum3(atten) * (1.0 / PI)) * alive.astype(jnp.float32)
+        aov_albedo = carry["aov_albedo"] + surf.albedo * w
+        aov_normal = carry["aov_normal"] + surf.n * w
         aov_weight = carry["aov_weight"] + w
 
         return (
@@ -201,9 +202,9 @@ def trace_rays(
 
     s = 1.0 / jnp.maximum(carry["aov_weight"], EPS)
     return TraceResult(
-        color=carry["lum"],
-        albedo=carry["aov_albedo"] * s[..., None],
-        normal=carry["aov_normal"] * s[..., None],
+        color=carry["lum"].aos(),
+        albedo=(carry["aov_albedo"] * s).aos(),
+        normal=(carry["aov_normal"] * s).aos(),
         live=carry["live"],
         rays_traced=carry["rays"],
     )
@@ -240,8 +241,8 @@ def accumulate(buffers: TraceBuffers, result: TraceResult, sample_weight) -> Tra
 
 def luminance_stddev(color: jnp.ndarray) -> jnp.ndarray:
     """pt_stddev convergence metric (ref CalcStdDev,
-    render_system.c:1374-1394): stddev of per-pixel average luminance."""
-    lum = avg_lum(color)
+    render_system.c:1374-1394)."""
+    lum = jnp.mean(color, axis=-1)
     n = lum.shape[0]
     mean = jnp.mean(lum)
     var = jnp.sum((lum - mean) ** 2) / (n - 1)

@@ -26,7 +26,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from pim_tpu.math.vec import EPS, RCP_EPS, dot, normalize
+from pim_tpu.math.vec3 import V3
 
 
 class Hit(NamedTuple):
@@ -35,7 +35,7 @@ class Hit(NamedTuple):
     u: jnp.ndarray        # [N] f32 barycentric u (weight of vertex B)
     v: jnp.ndarray        # [N] f32 barycentric v (weight of vertex C)
     backface: jnp.ndarray  # [N] bool
-    ng: jnp.ndarray       # [N, 3] unit geometric normal, faces the ray origin
+    ng: V3                # unit geometric normal (SoA), faces the ray origin
 
 
 TRI_CHUNK = 512
@@ -146,7 +146,8 @@ def _finalize_hit(positions, t, tri, u, v, det, t_far, rd) -> Hit:
     ng = jnp.cross(b - a, c - a)
     # det = dot(e1, cross(rd, e2)) = -dot(rd, ng): det < 0 <=> backface
     backface = det < 0.0
-    ng = normalize(ng) * jnp.where(backface, -1.0, 1.0)[:, None]
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1), 1e-24))
+    sign = jnp.where(miss, 0.0, jnp.where(backface, -inv_len, inv_len))
     u = jnp.clip(u, 0.0, 1.0)
     v = jnp.clip(v, 0.0, 1.0)
     return Hit(
@@ -155,7 +156,7 @@ def _finalize_hit(positions, t, tri, u, v, det, t_far, rd) -> Hit:
         u=jnp.where(miss, 0.0, u),
         v=jnp.where(miss, 0.0, v),
         backface=jnp.where(miss, False, backface),
-        ng=jnp.where(miss[:, None], 0.0, ng),
+        ng=V3(ng[:, 0] * sign, ng[:, 1] * sign, ng[:, 2] * sign),
     )
 
 

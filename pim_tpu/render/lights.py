@@ -1,29 +1,35 @@
-"""Next-event estimation over the adaptive light grid.
+"""Next-event estimation over the adaptive light grid (SoA).
 
 Counterpart of LightSelect / SampleLight / LightEvalPdf / EstimateDirect /
 LightOnHit (ref: src/rendering/path_tracer.c:1709-1942).
 
-TPU re-design of the branchy C: the reference's two MIS strategies (sample
-the light grid vs sample the BSDF) each trace one ray, so all lanes trace
-exactly ONE unified NEE ray per bounce — per-lane strategy choice selects
-the ray and the MIS arithmetic, keeping the wavefront dense.  All attribute
-lookups (light triangle vertices, hit emission, per-cell pdf/cdf rows) are
-one-hot MXU fetches (render/fetch.py); the LightOnHit atomic histogram is a
-scatter-add into the [G, E] live tensor, psum'd across devices at frame end.
+TPU re-design: the reference's two MIS strategies (sample the light grid vs
+sample the BSDF) each trace one ray, so all lanes trace exactly ONE unified
+NEE ray per bounce; attribute lookups are one-hot MXU fetches; LightOnHit's
+atomic histogram is a scatter-add into the [G, E] live tensor, psum'd
+across devices at frame end.
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
 from pim_tpu.core import rng
 from pim_tpu.geom.material import MatFlag
-from pim_tpu.math.color import avg_lum
-from pim_tpu.math.grid import grid_index
+from pim_tpu.math.grid import grid_index_soa
 from pim_tpu.math.sampling import light_pdf, power_heuristic, sample_bary_coord
-from pim_tpu.math.vec import EPS, LOG2_EPS, MILLI, RCP_EPS, dot, lerp
+from pim_tpu.math.vec3 import (
+    EPS,
+    LOG2_EPS,
+    MILLI,
+    RCP_EPS,
+    V3,
+    avg_lum3,
+    dot,
+    lerp,
+    max3,
+    where3,
+)
 from pim_tpu.render import fetch as F
 from pim_tpu.render.bsdf import eval_principled, scatter_principled
 from pim_tpu.render.scene import LightState, SceneArrays, SceneMeta, scene_intersect
@@ -31,43 +37,37 @@ from pim_tpu.render.surface import Surface, fetch_hit_attribs, get_emission_from
 
 
 def light_select(meta: SceneMeta, arrays: SceneArrays, lights: LightState,
-                 position, u):
-    """Pick an emissive triangle from the cell's distribution.
+                 position: V3, u):
+    """Pick an emissive triangle from the cell's distribution
+    (ref LightSelect :1735-1764).
 
-    Returns (emit_idx [N], tri [N], select_pdf [N], ok [N], cell [N]).
-    (ref LightSelect :1735-1764; cells outside the map have no distribution)
-    """
+    Returns (emit [N], tri [N], select_pdf [N], ok [N], pdf_rows [E, N],
+    active [N])."""
     e = meta.emissive_count
     grid = meta.grid_spec(arrays.grid_lo)
-    cell = grid_index(grid, position)
-    cdf_rows = F.fetch_rows(lights.cdf, cell)            # [N, E+1]
-    emit = jnp.sum((cdf_rows <= u[..., None]).astype(jnp.int32), axis=-1) - 1
+    cell = grid_index_soa(grid, position)
+    cdf_rows = F.fetch_cols(lights.cdf.T, cell)          # [E+1, N]
+    emit = jnp.sum((cdf_rows <= u[None, :]).astype(jnp.int32), axis=0) - 1
     emit = jnp.clip(emit, 0, e - 1)
-    pdf_rows = F.fetch_rows(lights.pdf, cell)            # [N, E]
+    pdf_rows = F.fetch_cols(lights.pdf.T, cell)          # [E, N]
     pdf = F.select_columns(pdf_rows, emit) / jnp.float32(e)
-    active = F.fetch_rows(
-        arrays.cell_active[:, None].astype(jnp.float32), cell
-    )[..., 0] > 0.5
+    active = F.fetch_cols(arrays.cell_active_f, cell)[0] > 0.5
     ok = active & (pdf > EPS)
-    tri = F.fetch_rows(
-        arrays.emit_to_tri[:, None].astype(jnp.float32), emit
-    )[..., 0].astype(jnp.int32)
-    return emit, tri, pdf, ok, cell, pdf_rows, active
+    tri = F.fetch_cols(arrays.emit_to_tri_f, emit)[0].astype(jnp.int32)
+    return emit, tri, pdf, ok, pdf_rows, active
 
 
 def light_select_pdf_from_rows(pdf_rows, active, emit_of_hit, e: int):
     """Probability that light_select would pick the hit's emissive from the
-    SAME cell (pdf rows already fetched); 1.0 for non-emissive/inactive.
-    (ref LightSelectPdf :1766-1783)."""
+    same cell (ref LightSelectPdf :1766-1783); 1.0 when not applicable."""
     valid = (emit_of_hit >= 0) & active
     pdf = F.select_columns(pdf_rows, jnp.maximum(emit_of_hit, 0)) / jnp.float32(e)
     return jnp.where(valid, pdf, 1.0)
 
 
-def light_on_hit(meta: SceneMeta, live, cell, emit, emission, active):
-    """Accumulate the light-learning histogram (ref LightOnHit :1709-1733):
-    quantized log2 luminance scatter-added at (cell, emit)."""
-    lum = avg_lum(emission)
+def light_on_hit(meta: SceneMeta, live, cell, emit, emission: V3, active):
+    """Accumulate the light-learning histogram (ref LightOnHit :1709-1733)."""
+    lum = avg_lum3(emission)
     loglum = jnp.log2(jnp.maximum(lum, EPS)) - LOG2_EPS
     loglum = jnp.clip(loglum, 0.0, 46.0)
     amt = (loglum * (255.0 / 46.0) + 0.5).astype(jnp.uint32)
@@ -85,18 +85,13 @@ def estimate_direct(
     lut,
     surf: Surface,
     src_tri,
-    i_dir,
+    i_dir: V3,
     state,
 ):
     """One-sample MIS direct lighting (ref EstimateDirect :1849-1919).
-
-    Per lane: with probability pRough sample the light grid, else sample the
-    BSDF; both strategies resolve through ONE traced ray; the power
-    heuristic weights the winner against the counterfactual pdf.
-    Returns (state, radiance [N, 3]).
-    """
+    Returns (state, radiance V3)."""
     if meta.emissive_count == 0:
-        return state, jnp.zeros_like(surf.albedo)
+        return state, V3.zeros(src_tri.shape)
 
     p_rough = lerp(jnp.float32(0.05), jnp.float32(0.95), surf.roughness)
     p_smooth = 1.0 - p_rough
@@ -105,33 +100,33 @@ def estimate_direct(
 
     # --- light-strategy sample ---------------------------------------------
     state, u_sel = rng.next_f32(state)
-    emit, l_tri, select_pdf, sel_ok, _cell, pdf_rows, cell_act = light_select(
+    emit, l_tri, select_pdf, sel_ok, pdf_rows, cell_act = light_select(
         meta, arrays, lights, surf.p, u_sel
     )
-    state, xi_bary = rng.next_f32x2(state)
-    wuv = sample_bary_coord(xi_bary)
-    l_rows = F.fetch_rows(arrays.tri_table, l_tri)
-    a = l_rows[:, F.PA]
-    b = l_rows[:, F.PB]
-    c = l_rows[:, F.PC]
-    area = l_rows[:, F.AREA]
-    target = a * wuv[..., 0:1] + b * wuv[..., 1:2] + c * wuv[..., 2:3]
+    state, (bu, bv) = rng.next_f32x2(state)
+    w_, wu, wv = sample_bary_coord(bu, bv)
+    l_rows = F.fetch_cols(arrays.tri_table, l_tri)
+    a = F.v3_rows(l_rows, F.PA)
+    b = F.v3_rows(l_rows, F.PB)
+    c = F.v3_rows(l_rows, F.PC)
+    area = l_rows[F.AREA]
+    target = a * w_ + b * wu + c * wv
     delta = target - surf.p
-    dist_sq = jnp.maximum(jnp.sum(delta * delta, -1), 1e-12)
+    dist_sq = jnp.maximum(dot(delta, delta), 1e-12)
     dist = jnp.sqrt(dist_sq)
-    rd_light = delta / dist[..., None]
+    rd_light = delta * (1.0 / dist)
 
     # --- bsdf-strategy sample ----------------------------------------------
     state, scat = scatter_principled(lut, surf, i_dir, state, occluded_fn=None)
 
     # --- unified trace ------------------------------------------------------
-    rd = jnp.where(use_light[..., None], rd_light, scat.dir)
+    rd = where3(use_light, rd_light, scat.dir)
     t_far = jnp.where(use_light, dist + 0.01 * MILLI, RCP_EPS)
     hit = scene_intersect(meta, arrays, surf.p, rd, 0.0, t_far)
     at = fetch_hit_attribs(meta, arrays, hit)
     emission = get_emission_from_attribs(meta, arrays, rd, at)
-    hit_area = at.rows[:, F.AREA]
-    hit_emit = at.rows[:, F.EMIT_IDX].astype(jnp.int32)
+    hit_area = at.rows[F.AREA]
+    hit_emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
 
     # --- light-strategy MIS -------------------------------------------------
     hit_light = (hit.tri >= 0) & (hit.tri == l_tri)
@@ -144,10 +139,9 @@ def estimate_direct(
     w_light = power_heuristic(lp, bp) / jnp.maximum(lp, EPS)
     ok_light = (
         use_light & sel_ok & hit_light & (src_tri != l_tri)
-        & (lp > EPS) & (bp > EPS)
-        & (jnp.max(emission, axis=-1) > EPS)
+        & (lp > EPS) & (bp > EPS) & (max3(emission) > EPS)
     )
-    contrib_light = li_light * (w_light * ok_light.astype(jnp.float32))[..., None]
+    contrib_light = li_light * (w_light * ok_light.astype(jnp.float32))
 
     # --- bsdf-strategy MIS --------------------------------------------------
     bp2 = scat.pdf * p_smooth
@@ -161,13 +155,13 @@ def estimate_direct(
     w_brdf = power_heuristic(bp2, lp2) / jnp.maximum(bp2, EPS)
     ok_brdf = (
         (~use_light) & hit_any & (bp2 > EPS) & (lp2 > EPS)
-        & (jnp.max(emission, axis=-1) > EPS)
+        & (max3(emission) > EPS)
     )
-    contrib_brdf = li_brdf * (w_brdf * ok_brdf.astype(jnp.float32))[..., None]
+    contrib_brdf = li_brdf * (w_brdf * ok_brdf.astype(jnp.float32))
 
     refractive = (surf.flags & int(MatFlag.REFRACTIVE)) != 0
-    result = jnp.where(
-        refractive[..., None], 0.0,
-        jnp.where(use_light[..., None], contrib_light, contrib_brdf),
+    result = where3(
+        refractive, V3.zeros(src_tri.shape),
+        where3(use_light, contrib_light, contrib_brdf),
     )
     return state, result

@@ -168,8 +168,15 @@ def pack_tris(positions) -> jnp.ndarray:
 def intersect_pallas_raw(tris9, ro, rd, t_near, t_far):
     """Closest-hit kernel invocation; returns (t [N], tri [N]) only.
 
-    Barycentrics/normals are completed by the caller via the fused
-    tri-table fetch (scene._finalize_hit_fused)."""
+    ro/rd may be SoA V3 or [N, 3] arrays.  Barycentrics/normals are
+    completed by the caller via the fused tri-table fetch
+    (scene._finalize_hit_fused)."""
+    from pim_tpu.math.vec3 import V3
+
+    if isinstance(ro, V3):
+        ro = ro.aos()
+    if isinstance(rd, V3):
+        rd = rd.aos()
     n = ro.shape[0]
     npad = int(np.ceil(n / RAY_BLOCK)) * RAY_BLOCK
     t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))
@@ -200,6 +207,12 @@ def intersect_pallas(tris9, positions, ro, rd, t_near, t_far):
 
 
 def occluded_pallas(tris9, ro, rd, t_near, t_far):
+    from pim_tpu.math.vec3 import V3
+
+    if isinstance(ro, V3):
+        ro = ro.aos()
+    if isinstance(rd, V3):
+        rd = rd.aos()
     n = ro.shape[0]
     npad = int(np.ceil(n / RAY_BLOCK)) * RAY_BLOCK
     t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))

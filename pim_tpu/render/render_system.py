@@ -29,7 +29,7 @@ from pim_tpu.core.timesys import get_timesys
 from pim_tpu.geom.cornell import build_cornell_box
 from pim_tpu.geom.entities import Entities
 from pim_tpu.geom.material import TexturePool
-from pim_tpu.math.vec import RCP_EPS
+from pim_tpu.math.vec3 import RCP_EPS
 from pim_tpu.render.camera import Camera, CameraArrays, DofInfo, camera_arrays, generate_primary_rays
 from pim_tpu.render.exposure import (
     ExposureParams,
@@ -67,8 +67,13 @@ def _make_frame_step(meta, width: int, height: int, max_bounces: int,
         )
 
         # autofocus probe (ref DofUpdate :2485-2503): one ray down the view
+        from pim_tpu.math.vec3 import V3
+
         probe = scene_intersect(
-            meta, arrays, cam.eye[None, :], cam.fwd[None, :], 0.0, RCP_EPS
+            meta, arrays,
+            V3(cam.eye[0:1], cam.eye[1:2], cam.eye[2:3]),
+            V3(cam.fwd[0:1], cam.fwd[1:2], cam.fwd[2:3]),
+            0.0, RCP_EPS,
         )
         t_af = jnp.clip(1.0 - jnp.exp(-dt * autofocus_rate), 0.0, 1.0)
         focal = jnp.where(

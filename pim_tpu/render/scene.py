@@ -1,16 +1,20 @@
-"""TraceScene: the device-resident flat scene + build pipeline.
+"""TraceScene: the device-resident flat scene + build pipeline (SoA).
 
 TPU counterpart of PtScene (ref: src/rendering/path_tracer.c:122-166) and
 its build steps PtScene_Update/FlattenDrawables/SetupEmissives/
 SetupLightGrid (:618-1049).  The scene is split into:
 
-  SceneArrays — a pytree of jnp arrays (geometry, materials, atlas, BVH,
-                emissive tables, grid); passed as an argument to jitted
-                kernels so scene swaps don't recompile.
+  SceneArrays — a pytree of jnp arrays (geometry, fused attribute table,
+                atlas planes, BVH, light grid); passed as an argument to
+                jitted kernels so scene swaps don't recompile.
   SceneMeta   — hashable static config (counts, grid dims, backend); a new
                 meta means a new compile, like an Embree scene commit.
-  LightState  — the mutable adaptive light-sampling state (batched Dist1D +
-                live hit histograms); updated functionally every frame.
+  LightState  — the adaptive light-sampling state (batched Dist1D + live
+                hit histograms); updated functionally every frame.
+
+Layout rules (measured; see math/vec3.py): hot-path tensors avoid trailing
+small dims — the attribute table is [48, T] (fetched as [48, N] blocks via
+one-hot matmul), texture channels are flat planes, ray data is SoA V3.
 """
 
 from __future__ import annotations
@@ -28,47 +32,41 @@ from pim_tpu.geom.bvh import BvhArrays, build_bvh
 from pim_tpu.geom.entities import Entities, FlatScene, flatten
 from pim_tpu.geom.material import MatFlag, TexturePool, material_soa
 from pim_tpu.math import dist1d
-from pim_tpu.math.brdf import BrdfLut, bake_brdf_lut
+from pim_tpu.math.brdf import bake_brdf_lut
 from pim_tpu.math.grid import GridSpec, grid_index, grid_len, grid_position, make_grid
 from pim_tpu.math.sampling import hammersley_2d, sample_bary_coord, sample_unit_sphere
-from pim_tpu.math.vec import MILLI, RCP_EPS
+from pim_tpu.math.vec3 import MILLI, RCP_EPS, V3, cross, dot, where3
 from pim_tpu.render import intersect as isect
+from pim_tpu.render.intersect import Hit
 
 
 class SceneArrays(NamedTuple):
-    # geometry (world space soup; ref PtScene positions/normals/uvs/matIds)
+    # geometry (AoS copies feed the host/CPU-oracle backends)
     positions: jnp.ndarray   # [V, 3]
     normals: jnp.ndarray     # [V, 3]
     uvs: jnp.ndarray         # [V, 2]
-    mat_ids: jnp.ndarray     # [T] i32 per-triangle
+    mat_ids: jnp.ndarray     # [T] i32
     tris9: jnp.ndarray       # [9, Tpad] packed (a, e1, e2) for the Pallas path
+    tri_table: jnp.ndarray   # [48, T] fused attribute table (fetch.py layout)
     # bvh
     bvh_lo: jnp.ndarray
     bvh_hi: jnp.ndarray
     bvh_a: jnp.ndarray
     bvh_b: jnp.ndarray
     tri_order: jnp.ndarray
-    # materials SoA
-    m_albedo_tex: jnp.ndarray  # [M] i32
-    m_rome_tex: jnp.ndarray
-    m_normal_tex: jnp.ndarray
-    m_flags: jnp.ndarray       # [M] i32
-    m_ior: jnp.ndarray         # [M] f32
-    m_mfp: jnp.ndarray         # [M, 4] f32
-    # texture atlas
-    atlas: jnp.ndarray         # [H, W, 4] f32 (linear)
-    tex_rec: jnp.ndarray       # [Ntex, 4] i32 (x0, y0, w, h)
-    # emissives (ref vertToEmit/emitToVert, per-tri here)
-    tri_to_emit: jnp.ndarray   # [T] i32, -1 = not emissive
-    emit_to_tri: jnp.ndarray   # [E] i32
-    # fused per-triangle attribute table (render/fetch.py layout)
-    tri_table: jnp.ndarray     # [T, 48] f32
+    # textures: flat per-channel planes + transposed records
+    atlas_planes: jnp.ndarray  # [4, H*W]
+    tex_rec_t: jnp.ndarray     # [5, Ntex] f32 (x0, y0, w, h, atlas_stride)
+    # emissives
+    tri_to_emit: jnp.ndarray   # [T] i32
+    emit_to_tri_f: jnp.ndarray  # [1, E] f32 (for one-hot fetch)
     # light grid
     grid_lo: jnp.ndarray       # [3]
     cell_active: jnp.ndarray   # [G] bool
-    # BRDF LUT (split-sum energy compensation)
+    cell_active_f: jnp.ndarray  # [1, G] f32
+    # BRDF LUT
     brdf_lut: jnp.ndarray      # [L, L, 2]
-    # sky cubemap, [6, R, R, 3]; R=1 zeros when absent (meta.has_sky False)
+    # sky cubemap [6, R, R, 3] (R=1 zeros when absent)
     sky: jnp.ndarray
 
 
@@ -85,7 +83,7 @@ class SceneMeta:
     has_sky: bool
     has_refractive: bool
     media_enabled: bool
-    textured: bool          # any non-1x1 texture -> atlas path compiled in
+    textured: bool
     has_normal_maps: bool
 
     @property
@@ -101,60 +99,75 @@ class LightState(NamedTuple):
     cdf: jnp.ndarray       # [G, E+1]
     integral: jnp.ndarray  # [G]
     sum: jnp.ndarray       # [G] u32
-    live: jnp.ndarray      # [G, E] u32 scatter-accumulated hit histogram
+    live: jnp.ndarray      # [G, E] u32
 
 
-def _finalize_hit_fused(arrays: SceneArrays, t, tri, ro, rd, t_far):
-    """Hit completion via the fused tri-table fetch (no serial gathers).
+def _mt_soa(ro: V3, rd: V3, a: V3, e1: V3, e2: V3):
+    """Möller-Trumbore on SoA V3 lanes; returns (t, u, v, det)."""
+    p = cross(rd, e2)
+    det = dot(e1, p)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tv = ro - a
+    u = dot(tv, p) * inv_det
+    q = cross(tv, e1)
+    v = dot(rd, q) * inv_det
+    t = dot(e2, q) * inv_det
+    return t, u, v, det
 
-    Recomputes barycentrics + the geometric normal for the winning triangle
-    with one one-hot matmul."""
+
+def _finalize_hit_fused(arrays: SceneArrays, t, tri, ro: V3, rd: V3) -> Hit:
+    """Hit completion via the fused tri-table fetch (one one-hot matmul)."""
     from pim_tpu.render import fetch as F
-    from pim_tpu.render.intersect import Hit, _moller_trumbore
 
-    rows = F.fetch_rows(arrays.tri_table, jnp.maximum(tri, 0))
-    a = rows[:, F.PA]
-    b = rows[:, F.PB]
-    c = rows[:, F.PC]
-    tt, u, v, det = _moller_trumbore(ro, rd, a, b - a, c - a)
+    rows = F.fetch_cols(arrays.tri_table, jnp.maximum(tri, 0))
+    a = F.v3_rows(rows, F.PA)
+    b = F.v3_rows(rows, F.PB)
+    c = F.v3_rows(rows, F.PC)
+    _, u, v, det = _mt_soa(ro, rd, a, b - a, c - a)
     miss = tri < 0
-    ng = jnp.cross(b - a, c - a)
+    ng = cross(b - a, c - a)
     backface = det < 0.0
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1, keepdims=True), 1e-24))
-    ng = ng / norm * jnp.where(backface, -1.0, 1.0)[:, None]
-    u = jnp.clip(u, 0.0, 1.0)
-    v = jnp.clip(v, 0.0, 1.0)
+    inv_len = jax.lax.rsqrt(jnp.maximum(dot(ng, ng), 1e-24))
+    sign = jnp.where(backface, -inv_len, inv_len)
+    ng = ng * sign
+    zero = jnp.float32(0.0)
     return Hit(
         t=jnp.where(miss, -1.0, t),
         tri=tri,
-        u=jnp.where(miss, 0.0, u),
-        v=jnp.where(miss, 0.0, v),
+        u=jnp.where(miss, 0.0, jnp.clip(u, 0.0, 1.0)),
+        v=jnp.where(miss, 0.0, jnp.clip(v, 0.0, 1.0)),
         backface=jnp.where(miss, False, backface),
-        ng=jnp.where(miss[:, None], 0.0, ng),
+        ng=where3(miss, V3(zero, zero, zero), ng),
     )
 
 
-def scene_intersect(meta: SceneMeta, arrays: SceneArrays, ro, rd, t_near, t_far) -> isect.Hit:
-    if meta.backend == "bvh":
-        bvh = BvhArrays(arrays.bvh_lo, arrays.bvh_hi, arrays.bvh_a, arrays.bvh_b, arrays.tri_order)
-        return isect.intersect_bvh(bvh, arrays.positions, ro, rd, t_near, t_far, meta.max_leaf)
+def scene_intersect(meta: SceneMeta, arrays: SceneArrays, ro: V3, rd: V3,
+                    t_near, t_far) -> Hit:
     if meta.backend == "pallas":
         from pim_tpu.render.pallas_kernels import intersect_pallas_raw
 
         t, tri = intersect_pallas_raw(arrays.tris9, ro, rd, t_near, t_far)
-        return _finalize_hit_fused(arrays, t, tri, ro, rd, t_far)
-    return isect.intersect_brute(arrays.positions, ro, rd, t_near, t_far)
-
-
-def scene_occluded(meta: SceneMeta, arrays: SceneArrays, ro, rd, t_near, t_far) -> jnp.ndarray:
+        return _finalize_hit_fused(arrays, t, tri, ro, rd)
+    ro_a = ro.aos()
+    rd_a = rd.aos()
     if meta.backend == "bvh":
         bvh = BvhArrays(arrays.bvh_lo, arrays.bvh_hi, arrays.bvh_a, arrays.bvh_b, arrays.tri_order)
-        return isect.occluded_bvh(bvh, arrays.positions, ro, rd, t_near, t_far, meta.max_leaf)
+        return isect.intersect_bvh(bvh, arrays.positions, ro_a, rd_a, t_near, t_far, meta.max_leaf)
+    return isect.intersect_brute(arrays.positions, ro_a, rd_a, t_near, t_far)
+
+
+def scene_occluded(meta: SceneMeta, arrays: SceneArrays, ro: V3, rd: V3,
+                   t_near, t_far) -> jnp.ndarray:
     if meta.backend == "pallas":
         from pim_tpu.render.pallas_kernels import occluded_pallas
 
         return occluded_pallas(arrays.tris9, ro, rd, t_near, t_far)
-    return isect.occluded_brute(arrays.positions, ro, rd, t_near, t_far)
+    ro_a = ro.aos()
+    rd_a = rd.aos()
+    if meta.backend == "bvh":
+        bvh = BvhArrays(arrays.bvh_lo, arrays.bvh_hi, arrays.bvh_a, arrays.bvh_b, arrays.tri_order)
+        return isect.occluded_bvh(bvh, arrays.positions, ro_a, rd_a, t_near, t_far, meta.max_leaf)
+    return isect.occluded_brute(arrays.positions, ro_a, rd_a, t_near, t_far)
 
 
 # ---------------------------------------------------------------------------
@@ -178,22 +191,20 @@ def _emission_pdf_host(flat: FlatScene, pool_atlas, pool_rec, attempts: int = 10
         if mat.rome_tex < 0:
             continue
         x0, y0, w, h = pool_rec[mat.rome_tex]
-        tex = pool_atlas[y0 : y0 + h, x0 : x0 + w, 3]  # alpha (emission)
+        tex = pool_atlas[y0 : y0 + h, x0 : x0 + w, 3]
         if w == 1 and h == 1:
             pdfs[sel] = 1.0 if tex[0, 0] > 0.0 else 0.0
             continue
-        # MC: sample barycentric uv per tri, point-wrap fetch
         xi = rng_np.random((attempts, 2), dtype=np.float32)
         r1 = np.sqrt(np.maximum(xi[:, 0], 1e-12))
         u = r1 * (1 - xi[:, 1])
         v = xi[:, 1] * r1
-        wgt = np.stack([1 - u - v, u, v], axis=-1)  # [S, 3]
+        wgt = np.stack([1 - u - v, u, v], axis=-1)
         for ti in sel:
-            uv = wgt @ uvs[ti]  # [S, 2]
+            uv = wgt @ uvs[ti]
             px = np.floor(uv[:, 0] * w).astype(np.int64) % w
             py = np.floor(uv[:, 1] * h).astype(np.int64) % h
-            hits = (tex[py, px] > 0.0).mean()
-            pdfs[ti] = hits
+            pdfs[ti] = (tex[py, px] > 0.0).mean()
     return pdfs
 
 
@@ -203,11 +214,8 @@ def _emission_pdf_host(flat: FlatScene, pool_atlas, pool_rec, attempts: int = 10
 
 
 def _min_dist_to_tris(positions: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Unsigned min distance from each point [G,3] to any triangle.
-
-    Replaces the Embree point query (ref RtcPointQuery :565-616 +
-    sdTriangle3D).  Chunked over triangles.
-    """
+    """Unsigned min distance from each point [G, 3] to any triangle
+    (replaces the Embree point query, ref :565-616). Chunked over tris."""
     tri_count = positions.shape[0] // 3
     tris = positions[: tri_count * 3].reshape(tri_count, 3, 3)
 
@@ -246,15 +254,11 @@ def _point_tri_dist(p, a, b, c):
     vc = d1 * d4 - d3 * d2
 
     denom_bc = jnp.maximum((d4 - d3) + (d5 - d6), 1e-12)
-    # candidate closest points per region
     w_bc = jnp.clip((d4 - d3) / denom_bc, 0.0, 1.0)
-    cand = [
-        a,  # vertex regions handled by clamped edges below
-        a + jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-12), 0.0, 1.0)[..., None] * ab,
-        a + jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-12), 0.0, 1.0)[..., None] * ac,
-        b + w_bc[..., None] * (c - b),
-    ]
-    # interior projection
+    cand_ab = a + jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-12), 0.0, 1.0)[..., None] * ab
+    cand_ac = a + jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-12), 0.0, 1.0)[..., None] * ac
+    cand_bc = b + w_bc[..., None] * (c - b)
+
     denom = jnp.maximum(va + vb + vc, 1e-12)
     v = vb / denom
     w = vc / denom
@@ -266,71 +270,77 @@ def _point_tri_dist(p, a, b, c):
         jnp.sum((p - interior) ** 2, -1),
         jnp.minimum(
             jnp.minimum(
-                jnp.sum((p - cand[1]) ** 2, -1), jnp.sum((p - cand[2]) ** 2, -1)
+                jnp.sum((p - cand_ab) ** 2, -1), jnp.sum((p - cand_ac) ** 2, -1)
             ),
-            jnp.sum((p - cand[3]) ** 2, -1),
+            jnp.sum((p - cand_bc) ** 2, -1),
         ),
     )
     return jnp.sqrt(d_best)
 
 
 def bake_light_grid(meta: SceneMeta, arrays: SceneArrays) -> Tuple[jnp.ndarray, LightState]:
-    """Visibility-seeded per-cell light distributions.
-
-    Per cell: (1) interior test — cells far from any surface shoot 16
-    uniform rays; <50% hit ratio marks the cell outside the map (inactive);
-    (2) per emissive, 16 shadow rays from jittered cell origins to random
-    triangle points seed pdf[cell, emit] with the visible fraction.
-    Returns (cell_active, LightState).
-    """
+    """Visibility-seeded per-cell light distributions (ref :891-1009)."""
     g = meta.grid_len
     e = meta.emissive_count
     grid = meta.grid_spec(arrays.grid_lo)
     radius = (1.0 / meta.cells_per_meter) * 0.666
 
-    centers = grid_position(grid, jnp.arange(g, dtype=jnp.int32))  # [G, 3]
+    centers_aos = grid_position(grid, jnp.arange(g, dtype=jnp.int32))  # [G, 3]
 
     if e == 0 or meta.tri_count == 0:
-        state = dist1d.Dist1D(
-            pdf=jnp.zeros((g, max(e, 1)), jnp.float32),
-            cdf=jnp.zeros((g, max(e, 1) + 1), jnp.float32),
+        ee = max(e, 1)
+        return jnp.zeros((g,), bool), LightState(
+            pdf=jnp.zeros((g, ee), jnp.float32),
+            cdf=jnp.zeros((g, ee + 1), jnp.float32),
             integral=jnp.zeros((g,), jnp.float32),
             sum=jnp.zeros((g,), jnp.uint32),
-        )
-        return jnp.zeros((g,), bool), LightState(
-            pdf=state.pdf, cdf=state.cdf, integral=state.integral,
-            sum=state.sum, live=jnp.zeros((g, max(e, 1)), jnp.uint32),
+            live=jnp.zeros((g, ee), jnp.uint32),
         )
 
     # interior test
-    dists = _min_dist_to_tris(arrays.positions, centers)
+    dists = _min_dist_to_tris(arrays.positions, centers_aos)
     near_surface = dists <= radius
-    hamm = sample_unit_sphere(hammersley_2d(jnp.arange(16, dtype=jnp.uint32), 16))  # [16, 3]
-    ro = jnp.repeat(centers, 16, axis=0)
-    rd = jnp.tile(hamm, (g, 1))
+    hu, hv = hammersley_2d(jnp.arange(16, dtype=jnp.uint32), 16)
+    hamm = sample_unit_sphere(hu, hv)  # V3 of [16]
+    centers = V3.from_aos(centers_aos)
+    ro = V3(
+        jnp.repeat(centers.x, 16), jnp.repeat(centers.y, 16), jnp.repeat(centers.z, 16)
+    )
+    rd = V3(
+        jnp.tile(hamm.x, g), jnp.tile(hamm.y, g), jnp.tile(hamm.z, g)
+    )
     hit = scene_intersect(meta, arrays, ro, rd, 0.0, RCP_EPS)
-    # count any triangle hit (front or back), like the ref interior test
     hit_ratio = jnp.mean((hit.t >= 0.0).reshape(g, 16).astype(jnp.float32), axis=-1)
     cell_active = near_surface | (hit_ratio >= 0.5)
 
-    # visibility seeding: [G, E, S] rays
+    # visibility seeding: [G * E * S] rays
     s = 16
     key_state = rng.make_state(jnp.arange(g * e * s, dtype=jnp.uint32), 0, seed=0x11671)
-    key_state, xi_o = rng.next_f32x4(key_state)
-    key_state, xi_b = rng.next_f32x2(key_state)
-    offs = (xi_o[..., :3] * 3.0 - 1.5) * radius
-    origins = jnp.repeat(centers, e * s, axis=0) + offs  # [G*E*S, 3]
+    key_state, (ox, oy, oz, _) = rng.next_f32x4(key_state)
+    key_state, (bu, bv) = rng.next_f32x2(key_state)
 
-    tri = arrays.emit_to_tri  # [E]
-    base = jnp.repeat(jnp.tile(tri, (g,)), s) * 3  # [G*E*S]
-    a = arrays.positions[base]
-    b = arrays.positions[base + 1]
-    c = arrays.positions[base + 2]
-    wuv = sample_bary_coord(xi_b)
-    target = a * wuv[..., 0:1] + b * wuv[..., 1:2] + c * wuv[..., 2:3]
+    def rep(x):
+        return jnp.repeat(x, e * s)
+
+    origins = V3(
+        rep(centers.x) + (ox * 3.0 - 1.5) * radius,
+        rep(centers.y) + (oy * 3.0 - 1.5) * radius,
+        rep(centers.z) + (oz * 3.0 - 1.5) * radius,
+    )
+    emit_tris = arrays.emit_to_tri_f[0].astype(jnp.int32)  # [E]
+    tri = jnp.repeat(jnp.tile(emit_tris, (g,)), s)  # [G*E*S]
+
+    from pim_tpu.render import fetch as F
+
+    rows = F.fetch_cols(arrays.tri_table, tri)
+    a = F.v3_rows(rows, F.PA)
+    b = F.v3_rows(rows, F.PB)
+    c = F.v3_rows(rows, F.PC)
+    w_, u_, v_ = sample_bary_coord(bu, bv)
+    target = a * w_ + b * u_ + c * v_
     delta = target - origins
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-12))
-    rd2 = delta / dist[:, None]
+    dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-12))
+    rd2 = delta * (1.0 / dist)
     blocked = scene_occluded(meta, arrays, origins, rd2, 0.0, dist - 0.01 * MILLI)
     vis = 1.0 - blocked.astype(jnp.float32)
     pdf = jnp.mean(vis.reshape(g, e, s), axis=-1)
@@ -360,6 +370,8 @@ def build_scene(
 ) -> Tuple[SceneMeta, SceneArrays, LightState]:
     """Entities + textures -> (meta, device arrays, light state)."""
     from pim_tpu.core.cvars import cv_pt_dist_meters
+    from pim_tpu.render.fetch import build_tri_table
+    from pim_tpu.render.pallas_kernels import pack_tris
 
     if cells_per_meter is None:
         cells_per_meter = 1.0 / cv_pt_dist_meters.get()
@@ -371,11 +383,9 @@ def build_scene(
     # emissives
     pdfs = _emission_pdf_host(flat, atlas, tex_rec)
     emissive_tris = np.nonzero(pdfs > 0.01)[0].astype(np.int32)
-    tri_to_emit = np.full(tri_count, -1, np.int32)
+    tri_to_emit = np.full(max(tri_count, 1), -1, np.int32)
     tri_to_emit[emissive_tris] = np.arange(len(emissive_tris), dtype=np.int32)
 
-    # backend choice: the Pallas dense kernel is the TPU speed path;
-    # brute (pure XLA) is the CPU/test oracle; bvh wins on huge scenes
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         if on_tpu:
@@ -384,7 +394,6 @@ def build_scene(
             backend = "brute" if tri_count <= brute_threshold else "bvh"
     bvh = build_bvh(flat.positions, max_leaf=max_leaf)
 
-    # grid bounds
     if tri_count > 0:
         lo = flat.positions.min(axis=0)
         hi = flat.positions.max(axis=0)
@@ -393,7 +402,6 @@ def build_scene(
         hi = np.ones(3, np.float32)
     grid = make_grid(lo, hi, cells_per_meter)
 
-    mats = material_soa(flat.materials)
     lut = bake_brdf_lut()
 
     if sky is None:
@@ -413,9 +421,7 @@ def build_scene(
         backend=backend,
         max_leaf=max_leaf,
         has_sky=has_sky,
-        has_refractive=any(
-            m.flags & MatFlag.REFRACTIVE for m in flat.materials
-        ),
+        has_refractive=any(m.flags & MatFlag.REFRACTIVE for m in flat.materials),
         media_enabled=media_enabled,
         textured=any(
             (m.albedo_tex >= 0 and tuple(tex_rec[m.albedo_tex][2:]) != (1, 1))
@@ -425,9 +431,16 @@ def build_scene(
         has_normal_maps=any(m.normal_tex >= 0 for m in flat.materials),
     )
 
-    from pim_tpu.render.fetch import build_tri_table
-    from pim_tpu.render.pallas_kernels import pack_tris
+    # texture planes: [4, H*W] + transposed records with stride row
+    atlas_h, atlas_w = atlas.shape[:2]
+    planes = atlas.reshape(-1, 4).T.copy()  # [4, H*W]
+    ntex = max(tex_rec.shape[0], 1)
+    rec_t = np.zeros((5, ntex), np.float32)
+    if tex_rec.shape[0] > 0:
+        rec_t[:4] = tex_rec.T.astype(np.float32)
+    rec_t[4] = float(atlas_w)
 
+    g = grid_len(grid)
     arrays = SceneArrays(
         positions=jnp.asarray(flat.positions),
         normals=jnp.asarray(flat.normals),
@@ -440,24 +453,26 @@ def build_scene(
         bvh_a=jnp.asarray(bvh.node_a),
         bvh_b=jnp.asarray(bvh.node_b),
         tri_order=jnp.asarray(bvh.tri_order),
-        m_albedo_tex=jnp.asarray(mats["albedo_tex"]),
-        m_rome_tex=jnp.asarray(mats["rome_tex"]),
-        m_normal_tex=jnp.asarray(mats["normal_tex"]),
-        m_flags=jnp.asarray(mats["flags"]),
-        m_ior=jnp.asarray(mats["ior"]),
-        m_mfp=jnp.asarray(mats["mean_free_path"]),
-        atlas=jnp.asarray(atlas),
-        tex_rec=jnp.asarray(tex_rec),
-        tri_to_emit=jnp.asarray(tri_to_emit),
-        emit_to_tri=jnp.asarray(emissive_tris),
+        atlas_planes=jnp.asarray(planes),
+        tex_rec_t=jnp.asarray(rec_t),
+        tri_to_emit=jnp.asarray(tri_to_emit[:max(tri_count, 1)]),
+        emit_to_tri_f=jnp.asarray(
+            emissive_tris.astype(np.float32).reshape(1, -1)
+            if len(emissive_tris)
+            else np.zeros((1, 1), np.float32)
+        ),
         grid_lo=jnp.asarray(grid.lo),
-        cell_active=jnp.zeros((grid_len(grid),), bool),
+        cell_active=jnp.zeros((g,), bool),
+        cell_active_f=jnp.zeros((1, g), jnp.float32),
         brdf_lut=lut.texels,
         sky=sky_arr,
     )
 
     cell_active, light_state = bake_light_grid(meta, arrays)
-    arrays = arrays._replace(cell_active=cell_active)
+    arrays = arrays._replace(
+        cell_active=cell_active,
+        cell_active_f=cell_active.astype(jnp.float32).reshape(1, -1),
+    )
 
     con_logf(
         LogSev.Info, "scene",

@@ -35,8 +35,8 @@ def quantize_dithered(srgb, seed: int = 0x5C4EE):
     """[H, W, 3] in [0,1] -> uint8 with the reference's 1/255 lerp dither."""
     h, w = srgb.shape[:2]
     state = rng.make_state(jnp.arange(h * w, dtype=jnp.uint32), 0, seed=seed)
-    _, noise = rng.next_f32x3(state)
-    noise = noise.reshape(h, w, 3)
+    _, (nr, ng, nb) = rng.next_f32x3(state)
+    noise = jnp.stack([nr, ng, nb], axis=-1).reshape(h, w, 3)
     v = srgb + (noise - srgb) * (1.0 / 255.0)
     return np.asarray(jnp.clip(v * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
 

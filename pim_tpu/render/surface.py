@@ -1,15 +1,14 @@
-"""Surface interaction: fused attribute fetch + hit-point shading state.
+"""Surface interaction: fused attribute fetch + hit-point shading state (SoA).
 
 Counterpart of GetSurface / GetNormal / GetUV / SampleAlbedo / SampleRome
 (ref: src/rendering/path_tracer.c:1180-1419) and the CPU bilinear sampler
 (src/rendering/sampler.h:176-249).
 
-TPU design note: all per-hit attributes (vertices, normals, uvs, flat
-material constants, ids) come from ONE one-hot matmul against the fused
-[T, 48] triangle table (render/fetch.py) — a single MXU op replaces ~20
-serial gathers (each ~1 ms at 262k lanes; measured).  The atlas bilinear
-path only exists in the compiled program when the scene actually has
-non-1x1 textures (meta.textured).
+All per-hit attributes come from ONE one-hot matmul against the fused
+[48, T] triangle table (render/fetch.py); the result is an [F, N] block
+whose row slices are perfectly-tiled [N] arrays (see math/vec3.py for the
+layout rationale).  Atlas sampling is per-channel against flat planes and
+only exists in the compiled program when the scene has real textures.
 """
 
 from __future__ import annotations
@@ -19,169 +18,188 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from pim_tpu.geom.material import MatFlag
-from pim_tpu.math.color import unpack_emission
+from pim_tpu.math.color import K_EMISSION_SCALE
 from pim_tpu.math.sampling import tan_to_world
-from pim_tpu.math.vec import MILLI, dot, normalize, reflect
+from pim_tpu.math.vec3 import (
+    MILLI,
+    V2,
+    V3,
+    dot,
+    normalize,
+    reflect,
+    where3,
+)
 from pim_tpu.render import fetch as F
 
 
 class Surface(NamedTuple):
     """Per-lane surface description (ref PtSurfHit, path_tracer.c:58-72)."""
 
-    p: jnp.ndarray          # [N, 3] offset hit position
-    m: jnp.ndarray          # [N, 3] macro (geometric-interp) normal
-    n: jnp.ndarray          # [N, 3] micro (shading) normal
-    albedo: jnp.ndarray     # [N, 3]
-    emission: jnp.ndarray   # [N, 3]
-    roughness: jnp.ndarray  # [N]
-    occlusion: jnp.ndarray  # [N]
-    metallic: jnp.ndarray   # [N]
-    ior: jnp.ndarray        # [N]
-    flags: jnp.ndarray      # [N] i32
-    mfp: jnp.ndarray        # [N, 4]
-    backface: jnp.ndarray   # [N] bool
+    p: V3
+    m: V3          # macro (geometric-interp) normal
+    n: V3          # micro (shading) normal
+    albedo: V3
+    emission: V3
+    roughness: jnp.ndarray
+    occlusion: jnp.ndarray
+    metallic: jnp.ndarray
+    ior: jnp.ndarray
+    flags: jnp.ndarray   # i32
+    backface: jnp.ndarray
 
 
-def sample_atlas_bilinear(atlas, rec, tex_id, uv, default):
-    """Bilinear-wrap fetch of texture `tex_id` at uv; tex_id<0 -> default.
+def fix_shading_normal(m: V3, n: V3) -> V3:
+    """Reflect shading normals that dip below the geometric hemisphere
+    (ref FixShadingNormal :1354-1361)."""
+    below = dot(m, n) <= 0.0
+    return where3(below, reflect(n, m), n)
 
-    atlas [H, W, 4]; rec [Ntex, 4] (x0, y0, w, h); uv [N, 2];
-    default [4] constant; returns [N, 4].  Texel convention matches the
-    reference sampler (LinearClamp: x = sat(u) * (size-1)).
-    """
-    safe_id = jnp.maximum(tex_id, 0)
-    r = F.fetch_rows(rec.astype(jnp.float32), safe_id).astype(jnp.int32)
-    x0 = r[..., 0].astype(jnp.float32)
-    y0 = r[..., 1].astype(jnp.float32)
-    w = r[..., 2]
-    h = r[..., 3]
+
+def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
+    """Bilinear-wrap fetch; atlas_planes [4, H*W] flat channel planes,
+    rec_t [4, Ntex] transposed records (x0, y0, w, h), uv V2 of [N].
+    Returns 4 channel arrays [N].  tex_id < 0 -> default (tuple of 4)."""
+    atlas_w = atlas_planes.shape[-1] if False else None  # width passed via rec
+    rec = F.fetch_cols(rec_t, jnp.maximum(tex_id, 0)).astype(jnp.int32)  # [5, N]
+    x0 = rec[0].astype(jnp.float32)
+    y0 = rec[1].astype(jnp.float32)
+    w = rec[2]
+    h = rec[3]
+    stride = rec[4]  # atlas width replicated per record
 
     def wrap(u):
         u = jnp.where(u >= 0.0, u, 1.0 - u)
         return u - jnp.floor(u)
 
-    fx = wrap(uv[..., 0]) * jnp.maximum(w - 1, 0).astype(jnp.float32)
-    fy = wrap(uv[..., 1]) * jnp.maximum(h - 1, 0).astype(jnp.float32)
+    fx = wrap(uv.x) * jnp.maximum(w - 1, 0).astype(jnp.float32)
+    fy = wrap(uv.y) * jnp.maximum(h - 1, 0).astype(jnp.float32)
     ax = jnp.floor(fx)
     ay = jnp.floor(fy)
-    tx = (fx - ax)[..., None]
-    ty = (fy - ay)[..., None]
+    tx = fx - ax
+    ty = fy - ay
     ax = ax.astype(jnp.int32)
     ay = ay.astype(jnp.int32)
     bx = jnp.minimum(ax + 1, w - 1)
     by = jnp.minimum(ay + 1, h - 1)
 
-    wa = atlas.shape[1]
-    flat = atlas.reshape(-1, atlas.shape[-1])
-    xi0 = (x0 + ax.astype(jnp.float32)).astype(jnp.int32)
-    xi1 = (x0 + bx.astype(jnp.float32)).astype(jnp.int32)
-    yi0 = (y0 + ay.astype(jnp.float32)).astype(jnp.int32)
-    yi1 = (y0 + by.astype(jnp.float32)).astype(jnp.int32)
-    taa = flat[yi0 * wa + xi0]
-    tba = flat[yi0 * wa + xi1]
-    tab = flat[yi1 * wa + xi0]
-    tbb = flat[yi1 * wa + xi1]
-    top = taa + (tba - taa) * tx
-    bot = tab + (tbb - tab) * tx
-    val = top + (bot - top) * ty
-    return jnp.where((tex_id < 0)[..., None], jnp.asarray(default, jnp.float32), val)
+    i00 = (y0.astype(jnp.int32) + ay) * stride + x0.astype(jnp.int32) + ax
+    i10 = (y0.astype(jnp.int32) + ay) * stride + x0.astype(jnp.int32) + bx
+    i01 = (y0.astype(jnp.int32) + by) * stride + x0.astype(jnp.int32) + ax
+    i11 = (y0.astype(jnp.int32) + by) * stride + x0.astype(jnp.int32) + bx
 
-
-def fix_shading_normal(m, n):
-    """Reflect shading normals that dip below the geometric hemisphere
-    (ref FixShadingNormal :1354-1361)."""
-    below = dot(m, n, keepdims=True) <= 0.0
-    return jnp.where(below, reflect(n, m), n)
+    missing = tex_id < 0
+    out = []
+    for c in range(4):
+        plane = atlas_planes[c]
+        t00 = plane[i00]
+        t10 = plane[i10]
+        t01 = plane[i01]
+        t11 = plane[i11]
+        top = t00 + (t10 - t00) * tx
+        bot = t01 + (t11 - t01) * tx
+        val = top + (bot - top) * ty
+        out.append(jnp.where(missing, jnp.float32(default[c]), val))
+    return out
 
 
 class HitAttribs(NamedTuple):
     """Everything the shading path needs about a hit, from one fused fetch."""
 
-    rows: jnp.ndarray       # [N, 48] raw table rows
-    p: jnp.ndarray          # [N, 3] interpolated position
-    m: jnp.ndarray          # [N, 3] interpolated macro normal (side-fixed)
-    uv: jnp.ndarray         # [N, 2]
-    flags: jnp.ndarray      # [N] i32
-    albedo: jnp.ndarray     # [N, 3]
-    rome: jnp.ndarray       # [N, 4]
-    emission: jnp.ndarray   # [N, 3]
+    rows: jnp.ndarray    # [48, N] raw table block
+    p: V3                # interpolated position
+    m: V3                # interpolated macro normal (side-fixed)
+    uv: V2
+    flags: jnp.ndarray   # i32
+    albedo: V3
+    rome: tuple          # 4 channel arrays [N]
+    emission: V3
 
 
 def fetch_hit_attribs(meta, arrays, hit) -> HitAttribs:
     """Fused fetch + interpolation for a Hit batch.
 
     Macro normal = barycentric vertex-normal blend, flipped to the side of
-    the geometric normal (ref GetNormal :1192-1204); sky handling is done
-    by callers.
-    """
+    the geometric normal (ref GetNormal :1192-1204)."""
     tri = jnp.maximum(hit.tri, 0)
-    rows = F.fetch_rows(arrays.tri_table, tri)
-    w = (1.0 - hit.u - hit.v)[..., None]
-    u = hit.u[..., None]
-    v = hit.v[..., None]
-    p = rows[:, F.PA] * w + rows[:, F.PB] * u + rows[:, F.PC] * v
-    n = rows[:, F.NA] * w + rows[:, F.NB] * u + rows[:, F.NC] * v
-    flip = dot(hit.ng, n, keepdims=True) <= 0.0
-    m = normalize(jnp.where(flip, -n, n))
-    uv = rows[:, F.UVA] * w + rows[:, F.UVB] * u + rows[:, F.UVC] * v
-    flags = rows[:, F.FLAGS].astype(jnp.int32)
+    rows = F.fetch_cols(arrays.tri_table, tri)  # [48, N]
+    w = 1.0 - hit.u - hit.v
+    u = hit.u
+    v = hit.v
+    pa = F.v3_rows(rows, F.PA)
+    pb = F.v3_rows(rows, F.PB)
+    pc = F.v3_rows(rows, F.PC)
+    p = pa * w + pb * u + pc * v
+    na = F.v3_rows(rows, F.NA)
+    nb = F.v3_rows(rows, F.NB)
+    nc = F.v3_rows(rows, F.NC)
+    n = na * w + nb * u + nc * v
+    flip = dot(hit.ng, n) <= 0.0
+    m = normalize(where3(flip, -n, n))
+    uv = V2(
+        rows[F.UVA.start] * w + rows[F.UVB.start] * u + rows[F.UVC.start] * v,
+        rows[F.UVA.start + 1] * w + rows[F.UVB.start + 1] * u + rows[F.UVC.start + 1] * v,
+    )
+    flags = rows[F.FLAGS].astype(jnp.int32)
 
-    albedo4 = rows[:, F.ALBEDO]
-    rome = rows[:, F.ROME]
+    albedo4 = [rows[F.ALBEDO.start + c] for c in range(4)]
+    rome = [rows[F.ROME.start + c] for c in range(4)]
     if meta.textured:
-        a_tex = rows[:, F.ALBEDO_TEX].astype(jnp.int32)
-        r_tex = rows[:, F.ROME_TEX].astype(jnp.int32)
+        a_tex = rows[F.ALBEDO_TEX].astype(jnp.int32)
+        r_tex = rows[F.ROME_TEX].astype(jnp.int32)
         a_smp = sample_atlas_bilinear(
-            arrays.atlas, arrays.tex_rec, a_tex, uv, jnp.zeros(4, jnp.float32)
+            arrays.atlas_planes, arrays.tex_rec_t, a_tex, uv, (0, 0, 0, 0)
         )
         r_smp = sample_atlas_bilinear(
-            arrays.atlas, arrays.tex_rec, r_tex, uv, jnp.zeros(4, jnp.float32)
+            arrays.atlas_planes, arrays.tex_rec_t, r_tex, uv, (0, 0, 0, 0)
         )
-        albedo4 = jnp.where((a_tex >= 0)[..., None], a_smp, albedo4)
-        rome = jnp.where((r_tex >= 0)[..., None], r_smp, rome)
+        albedo4 = [
+            jnp.where(a_tex >= 0, a_smp[c], albedo4[c]) for c in range(4)
+        ]
+        rome = [jnp.where(r_tex >= 0, r_smp[c], rome[c]) for c in range(4)]
 
-    albedo = albedo4[..., :3]
-    emission = unpack_emission(albedo, rome[..., 3])
+    albedo = V3(albedo4[0], albedo4[1], albedo4[2])
+    # UnpackEmission (ref color.h:588-591)
+    e = rome[3]
+    emission = albedo * (e * e * K_EMISSION_SCALE)
     return HitAttribs(
         rows=rows, p=p, m=m, uv=uv, flags=flags,
-        albedo=albedo, rome=rome, emission=emission,
+        albedo=albedo, rome=tuple(rome), emission=emission,
     )
 
 
-def _apply_sky(meta, arrays, rd, is_sky, albedo, emission, m):
+def _apply_sky(meta, arrays, rd: V3, is_sky, albedo: V3, emission: V3, m: V3):
     if meta.has_sky:
-        from pim_tpu.render.sky import sample_sky_cubemap
+        from pim_tpu.render.sky import sample_sky_cubemap_soa
 
-        sky_col = sample_sky_cubemap(arrays.sky, rd)
+        sky_col = sample_sky_cubemap_soa(arrays.sky, rd)
     else:
-        sky_col = jnp.zeros_like(albedo)
-    albedo = jnp.where(is_sky[..., None], 0.0, albedo)
-    emission = jnp.where(is_sky[..., None], sky_col, emission)
-    m = jnp.where(is_sky[..., None], -rd, m)
+        sky_col = V3.zeros(is_sky.shape)
+    zero = V3.zeros(is_sky.shape)
+    albedo = where3(is_sky, zero, albedo)
+    emission = where3(is_sky, sky_col, emission)
+    m = where3(is_sky, -rd, m)
     return albedo, emission, m
 
 
-def get_surface(meta, arrays, ro, rd, hit, attribs: HitAttribs = None) -> Surface:
+def get_surface(meta, arrays, ro: V3, rd: V3, hit, attribs: HitAttribs = None) -> Surface:
     """Full surface fetch (ref GetSurface :1377-1419)."""
     at = attribs if attribs is not None else fetch_hit_attribs(meta, arrays, hit)
     p = at.p + at.m * (0.01 * MILLI)
 
     n = at.m
     if meta.has_normal_maps:
-        nm_tex = at.rows[:, F.NORMAL_TEX].astype(jnp.int32)
+        nm_tex = at.rows[F.NORMAL_TEX].astype(jnp.int32)
         nm = sample_atlas_bilinear(
-            arrays.atlas, arrays.tex_rec, nm_tex, at.uv,
-            jnp.asarray([0.0, 0.0, 1.0, 0.0]),
+            arrays.atlas_planes, arrays.tex_rec_t, nm_tex, at.uv, (0.0, 0.0, 1.0, 0.0)
         )
-        nxy = nm[..., :2]
-        nz = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(nxy * nxy, -1), 1e-6))
-        n_ts = jnp.concatenate([nxy, nz[..., None]], axis=-1)
+        nz = jnp.sqrt(jnp.maximum(1.0 - (nm[0] * nm[0] + nm[1] * nm[1]), 1e-6))
+        n_ts = V3(nm[0], nm[1], nz)
         n_mapped = fix_shading_normal(at.m, tan_to_world(at.m, n_ts))
-        n = jnp.where((nm_tex >= 0)[..., None], n_mapped, n)
+        n = where3(nm_tex >= 0, n_mapped, n)
 
     is_sky = (at.flags & int(MatFlag.SKY)) != 0
     albedo, emission, m = _apply_sky(meta, arrays, rd, is_sky, at.albedo, at.emission, at.m)
-    n = jnp.where(is_sky[..., None], -rd, n)
+    n = where3(is_sky, -rd, n)
 
     return Surface(
         p=p,
@@ -189,28 +207,25 @@ def get_surface(meta, arrays, ro, rd, hit, attribs: HitAttribs = None) -> Surfac
         n=n,
         albedo=albedo,
         emission=emission,
-        roughness=jnp.where(is_sky, 1.0, at.rome[..., 0]),
-        occlusion=jnp.where(is_sky, 0.0, at.rome[..., 1]),
-        metallic=jnp.where(is_sky, 0.0, at.rome[..., 2]),
-        ior=jnp.where(is_sky, 1.0, at.rows[:, F.IOR]),
+        roughness=jnp.where(is_sky, 1.0, at.rome[0]),
+        occlusion=jnp.where(is_sky, 0.0, at.rome[1]),
+        metallic=jnp.where(is_sky, 0.0, at.rome[2]),
+        ior=jnp.where(is_sky, 1.0, at.rows[F.IOR]),
         flags=at.flags,
-        mfp=at.rows[:, F.MFP],
         backface=hit.backface,
     )
 
 
-def get_emission_from_attribs(meta, arrays, rd, at: HitAttribs):
+def get_emission_from_attribs(meta, arrays, rd: V3, at: HitAttribs) -> V3:
     """Emission-only view of a fetched hit (ref GetEmission :1293-1326)."""
     is_sky = (at.flags & int(MatFlag.SKY)) != 0
     if meta.has_sky:
-        from pim_tpu.render.sky import sample_sky_cubemap
+        from pim_tpu.render.sky import sample_sky_cubemap_soa
 
-        return jnp.where(
-            is_sky[..., None], sample_sky_cubemap(arrays.sky, rd), at.emission
-        )
-    return jnp.where(is_sky[..., None], 0.0, at.emission)
+        return where3(is_sky, sample_sky_cubemap_soa(arrays.sky, rd), at.emission)
+    return where3(is_sky, V3.zeros(is_sky.shape), at.emission)
 
 
-def get_emission(meta, arrays, ro, rd, hit):
+def get_emission(meta, arrays, ro: V3, rd: V3, hit) -> V3:
     at = fetch_hit_attribs(meta, arrays, hit)
     return get_emission_from_attribs(meta, arrays, rd, at)

@@ -28,7 +28,7 @@ def test_single_triangle_hit():
     assert np.isclose(float(hit.v[0]), 0.25, atol=1e-5)
     # normal faces the ray origin: cross(b-a, c-a) = +Z, ray from +Z: front
     assert not bool(hit.backface[0])
-    np.testing.assert_allclose(np.asarray(hit.ng[0]), [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hit.ng.aos())[0], [0, 0, 1], atol=1e-6)
 
 
 def test_backface_flag():
@@ -38,7 +38,7 @@ def test_backface_flag():
     hit = isect.intersect_brute(tri, ro, rd, 0.0, 100.0)
     assert bool(hit.backface[0])
     # ng flipped to oppose ray
-    np.testing.assert_allclose(np.asarray(hit.ng[0]), [0, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hit.ng.aos())[0], [0, 0, -1], atol=1e-6)
 
 
 def test_cornell_center_ray():
@@ -64,10 +64,10 @@ def test_bvh_matches_brute():
 
     n = 512
     state = rng.make_state(jnp.arange(n), 0, seed=123)
-    state, xi1 = rng.next_f32x3(state)
-    state, xi2 = rng.next_f32x2(state)
-    ro = (xi1 * 2.0 - 1.0) * 4.0  # random origins inside the box
-    rd = sample_unit_sphere(xi2)
+    state, (x, y, z) = rng.next_f32x3(state)
+    state, (u, v) = rng.next_f32x2(state)
+    ro = jnp.stack([x, y, z], -1) * 8.0 - 4.0  # random origins inside the box
+    rd = sample_unit_sphere(u, v).aos()
 
     hb = isect.intersect_brute(pos, ro, rd, 0.0, 1e6)
     hv = isect.intersect_bvh(bvh, pos, ro, rd, 0.0, 1e6)
@@ -86,10 +86,10 @@ def test_occlusion_matches():
 
     n = 256
     state = rng.make_state(jnp.arange(n), 1, seed=7)
-    state, xi1 = rng.next_f32x3(state)
-    state, xi2 = rng.next_f32x2(state)
-    ro = (xi1 * 2.0 - 1.0) * 4.0
-    rd = sample_unit_sphere(xi2)
+    state, (x, y, z) = rng.next_f32x3(state)
+    state, (u, v) = rng.next_f32x2(state)
+    ro = jnp.stack([x, y, z], -1) * 8.0 - 4.0
+    rd = sample_unit_sphere(u, v).aos()
     t_far = jnp.full((n,), 3.0, jnp.float32)
 
     ob = isect.occluded_brute(pos, ro, rd, 0.0, t_far)

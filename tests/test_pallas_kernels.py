@@ -21,10 +21,10 @@ def cornell_geom():
 
 def _rays(n, seed):
     st = prng.make_state(jnp.arange(n), 0, seed=seed)
-    st, xi1 = prng.next_f32x3(st)
-    st, xi2 = prng.next_f32x2(st)
-    ro = (xi1 * 2 - 1) * 4.0
-    rd = sample_unit_sphere(xi2)
+    st, (x, y, z) = prng.next_f32x3(st)
+    st, (u, v) = prng.next_f32x2(st)
+    ro = jnp.stack([x, y, z], -1) * 8.0 - 4.0
+    rd = sample_unit_sphere(u, v).aos()
     return ro, rd
 
 

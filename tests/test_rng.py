@@ -69,6 +69,7 @@ def test_determinism_across_shapes():
     the property that makes results sharding-invariant."""
     batch = rng.make_state(jnp.arange(16), 3)
     single = rng.make_state(jnp.asarray([7]), 3)
-    _, fb = rng.next_f32x2(batch)
-    _, fs = rng.next_f32x2(single)
-    np.testing.assert_array_equal(np.asarray(fb)[7], np.asarray(fs)[0])
+    _, (bu, bv) = rng.next_f32x2(batch)
+    _, (su, sv) = rng.next_f32x2(single)
+    assert float(bu[7]) == float(su[0])
+    assert float(bv[7]) == float(sv[0])
