@@ -58,6 +58,42 @@ class TraceResult(NamedTuple):
     rays_traced: jnp.ndarray  # scalar f32: total rays actually cast
 
 
+def _evaluate_light(meta, arrays, lights, state, p: V3):
+    """In-media NEE (ref EvaluateLight :1921-1942): select a light from the
+    grid, sample a point on it, verify visibility with one ray.
+    Returns (state, lum V3, dir V3, ok)."""
+    from pim_tpu.math.sampling import light_pdf as _light_pdf
+    from pim_tpu.math.sampling import sample_bary_coord
+    from pim_tpu.math.vec3 import dot as dot3
+    from pim_tpu.render import fetch as F
+    from pim_tpu.render.lights import light_select
+    from pim_tpu.render.surface import get_emission_from_attribs
+
+    state, u_sel = rng.next_f32(state)
+    emit, l_tri, select_pdf, sel_ok, _, _ = light_select(meta, arrays, lights, p, u_sel)
+    state, (bu, bv) = rng.next_f32x2(state)
+    w_, wu, wv = sample_bary_coord(bu, bv)
+    rows = F.fetch_cols(arrays.tri_table, l_tri)
+    a = F.v3_rows(rows, F.PA)
+    bb = F.v3_rows(rows, F.PB)
+    c = F.v3_rows(rows, F.PC)
+    area = rows[F.AREA]
+    target = a * w_ + bb * wu + c * wv
+    delta = target - p
+    dist_sq = jnp.maximum(dot3(delta, delta), 1e-12)
+    dist = jnp.sqrt(dist_sq)
+    rd = delta * (1.0 / dist)
+    hit = scene_intersect(meta, arrays, p, rd, 0.0, dist + 1e-5)
+    hit_ok = (hit.tri >= 0) & (hit.tri == l_tri)
+    pdf = _light_pdf(area, jnp.abs(dot3(rd, hit.ng)), dist_sq)
+    at = fetch_hit_attribs(meta, arrays, hit)
+    emission = get_emission_from_attribs(meta, arrays, rd, at)
+    denom = jnp.maximum(pdf * select_pdf, EPS)
+    lum = emission * (1.0 / denom)
+    ok = sel_ok & hit_ok & (pdf > EPS)
+    return state, lum, rd, ok
+
+
 def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd: V3) -> V3:
     if meta.has_sky:
         from pim_tpu.render.sky import sample_sky_cubemap_soa
@@ -74,11 +110,17 @@ def trace_rays(
     rd,
     state,
     max_bounces: int,
+    media_desc=None,
 ) -> TraceResult:
     """Trace a batch of rays to completion.
 
     ro/rd: V3 of [N] (or [N, 3] arrays, converted); state: rng.RngState.
+    media_desc: MediaDesc when meta.media_enabled (captured statically).
     """
+    if meta.media_enabled and media_desc is None:
+        from pim_tpu.render.media import make_media_desc
+
+        media_desc = make_media_desc()
     if not isinstance(ro, V3):
         ro = V3.from_aos(ro)
     if not isinstance(rd, V3):
@@ -128,13 +170,43 @@ def trace_rays(
         add_sky = (alive & missed).astype(jnp.float32)
         lum = lum + atten * sky * add_sky
 
+        # --- participating media (ref ScatterRay :2346-2367) ---------------
+        media_scattered = jnp.zeros((n,), bool)
+        if meta.media_enabled:
+            from pim_tpu.render.media import scatter_ray
+
+            ray_len = jnp.where(missed, RCP_EPS, hit.t)
+
+            def eval_light_in_media(st, p):
+                return _evaluate_light(meta, arrays, lights, st, p)
+
+            state, ms = scatter_ray(
+                media_desc, state, ro, rd, ray_len,
+                evaluate_light=eval_light_in_media if e > 0 else None,
+            )
+            media_scattered = alive & ms.scattered
+            msf = media_scattered.astype(jnp.float32)
+            lum = lum + atten * ms.luminance * msf
+            inv_mpdf = 1.0 / jnp.maximum(ms.pdf, EPS)
+            # scattered lanes: redirect; others: apply the transmittance
+            atten = where3(
+                media_scattered,
+                atten * ms.attenuation * inv_mpdf,
+                where3(alive, atten * ms.attenuation, atten),
+            )
+            ro = where3(media_scattered, ms.pos, ro)
+            rd = where3(media_scattered, ms.dir, rd)
+
         # --- fused surface fetch (one one-hot matmul; ref :2369) -----------
         at = fetch_hit_attribs(meta, arrays, hit)
 
         # backface of a non-refractive surface -> die (ref :2340-2343)
         refr_hit = (at.flags & int(MatFlag.REFRACTIVE)) != 0
         dead_backface = hit.backface & ~refr_hit
-        alive = alive & ~missed & ~dead_backface
+        alive = alive & (media_scattered | (~missed & ~dead_backface))
+        # lanes redirected by a media scatter skip surface work this bounce
+        # (ref :2358-2362 `continue`)
+        surf_alive = alive & ~media_scattered
 
         surf = get_surface(meta, arrays, ro, rd, hit, attribs=at)
 
@@ -145,26 +217,27 @@ def trace_rays(
             emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
             live = jax.lax.cond(
                 b > 0,
-                lambda lv: light_on_hit(meta, lv, cell, emit, surf.emission, alive),
+                lambda lv: light_on_hit(meta, lv, cell, emit, surf.emission, surf_alive),
                 lambda lv: lv,
                 live,
             )
 
         # emission only on primary hits or through refractive chains
         # (ref :2375-2378)
-        emit_vis = (alive & ((b == 0) | carry["prev_refractive"])).astype(jnp.float32)
+        emit_vis = (surf_alive & ((b == 0) | carry["prev_refractive"])).astype(jnp.float32)
         lum = lum + surf.emission * atten * emit_vis
 
         # sky-flagged surface terminates (ref :2379-2382)
         is_sky_surf = (surf.flags & int(MatFlag.SKY)) != 0
-        alive = alive & ~is_sky_surf
+        surf_alive = surf_alive & ~is_sky_surf
+        alive = alive & (media_scattered | ~is_sky_surf)
 
         # --- NEE (ref :2384-2387) ------------------------------------------
-        rays = rays + jnp.sum(alive.astype(jnp.float32))
+        rays = rays + jnp.sum(surf_alive.astype(jnp.float32))
         state, li = estimate_direct(
             meta, arrays, lights, lut, surf, hit.tri, rd, state
         )
-        lum = lum + li * atten * alive.astype(jnp.float32)
+        lum = lum + li * atten * surf_alive.astype(jnp.float32)
 
         # --- continuation scatter (ref :2389-2398) -------------------------
         if meta.has_refractive:
@@ -174,16 +247,16 @@ def trace_rays(
         else:
             thickness_fn = None
         state, scat = scatter_principled(lut, surf, rd, state, occluded_fn=thickness_fn)
-        cont = alive & (scat.pdf > EPS)
+        cont = surf_alive & (scat.pdf > EPS)
         inv_pdf = 1.0 / jnp.maximum(scat.pdf, EPS)
         atten = where3(cont, atten * scat.attenuation * inv_pdf, atten)
         ro = where3(cont, scat.pos, ro)
         rd = where3(cont, scat.dir, rd)
         prev_refractive = cont & ((surf.flags & int(MatFlag.REFRACTIVE)) != 0)
-        alive = cont
+        alive = cont | media_scattered
 
         # --- AOV accumulation (ref :2400-2406) -----------------------------
-        w = saturate(1.0 - avg_lum3(atten) * (1.0 / PI)) * alive.astype(jnp.float32)
+        w = saturate(1.0 - avg_lum3(atten) * (1.0 / PI)) * cont.astype(jnp.float32)
         aov_albedo = carry["aov_albedo"] + surf.albedo * w
         aov_normal = carry["aov_normal"] + surf.n * w
         aov_weight = carry["aov_weight"] + w
