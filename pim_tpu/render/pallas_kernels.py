@@ -3,22 +3,23 @@
 The XLA-level brute intersector materializes every [rays, tris] Möller-
 Trumbore intermediate in HBM (~17 GB/bounce at 512² on the cornell box —
 measured, see git history).  This kernel computes the same dense test
-entirely in VMEM: rays blocked on sublanes, triangles on lanes, one
-[R, TB] tile of arithmetic per chunk, nothing but the per-ray result ever
-touching HBM.  This is the Embree-replacement speed path (SURVEY.md §7
+entirely in VMEM.  This is the Embree-replacement speed path (SURVEY.md §7
 'hard part #1').
 
-Layout:
-  tris   [9, Tpad]  (ax ay az e1x e1y e1z e2x e2y e2z), VMEM-resident
-  rays   [N, 3] ro / rd, blocked [R, 3]
-  out    t [N, 1], tri [N, 1]  blocked [R, 1]
+Layout (all SoA, no trailing small dims anywhere):
+  rays   [8, N]      rows: rox roy roz tnear rdx rdy rdz tfar
+                     blocked [8, R] -> per-ray component slices [1, R]
+  tris   [Tpad, 12]  rows of (ax ay az e1x e1y e1z e2x e2y e2z pad pad pad),
+                     VMEM-resident; chunk slices [TB, 1]
+  out    t [N], tri [N]  blocked [R]
+Compute tiles are [TB, R]: triangles on sublanes, rays on lanes — both
+dimensions fully utilize the (8, 128) f32 tile.
 Grid: (N // R,) ray blocks; inner fori_loop over triangle chunks.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,49 +27,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 256
-TRI_BLOCK = 512
+RAY_BLOCK = 512
+TRI_BLOCK = 256
 _BIG = 3.0e38
 _IBIG = 2**31 - 1
 
 
-def _isect_kernel(tri_ref, ro_ref, rd_ref, rng_ref, t_out, idx_out, *,
+def _isect_kernel(tri_ref, rays_ref, t_out, idx_out, *,
                   tri_chunks: int, tri_block: int, any_hit: bool):
-    r = ro_ref.shape[0]
-    rox = ro_ref[:, 0:1]
-    roy = ro_ref[:, 1:2]
-    roz = ro_ref[:, 2:3]
-    rdx = rd_ref[:, 0:1]
-    rdy = rd_ref[:, 1:2]
-    rdz = rd_ref[:, 2:3]
-    tnear = rng_ref[:, 0:1]
-    tfar = rng_ref[:, 1:2]
+    rox = rays_ref[0:1, :]
+    roy = rays_ref[1:2, :]
+    roz = rays_ref[2:3, :]
+    tnear = rays_ref[3:4, :]
+    rdx = rays_ref[4:5, :]
+    rdy = rays_ref[5:6, :]
+    rdz = rays_ref[6:7, :]
+    tfar = rays_ref[7:8, :]
+    r = rox.shape[1]
 
     def chunk_body(c, carry):
         best_t, best_i = carry
         ds = pl.ds(pl.multiple_of(c * tri_block, tri_block), tri_block)
-        ax = tri_ref[0:1, ds]
-        ay = tri_ref[1:2, ds]
-        az = tri_ref[2:3, ds]
-        e1x = tri_ref[3:4, ds]
-        e1y = tri_ref[4:5, ds]
-        e1z = tri_ref[5:6, ds]
-        e2x = tri_ref[6:7, ds]
-        e2y = tri_ref[7:8, ds]
-        e2z = tri_ref[8:9, ds]
+        ax = tri_ref[ds, 0:1]
+        ay = tri_ref[ds, 1:2]
+        az = tri_ref[ds, 2:3]
+        e1x = tri_ref[ds, 3:4]
+        e1y = tri_ref[ds, 4:5]
+        e1z = tri_ref[ds, 5:6]
+        e2x = tri_ref[ds, 6:7]
+        e2y = tri_ref[ds, 7:8]
+        e2z = tri_ref[ds, 8:9]
 
-        # pvec = cross(rd, e2): [R, TB]
+        # pvec = cross(rd, e2): [TB, R]
         px = rdy * e2z - rdz * e2y
         py = rdz * e2x - rdx * e2z
         pz = rdx * e2y - rdy * e2x
         det = e1x * px + e1y * py + e1z * pz
         inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        # tvec = ro - a
         tvx = rox - ax
         tvy = roy - ay
         tvz = roz - az
         u = (tvx * px + tvy * py + tvz * pz) * inv_det
-        # qvec = cross(tvec, e1)
         qx = tvy * e1z - tvz * e1y
         qy = tvz * e1x - tvx * e1z
         qz = tvx * e1y - tvy * e1x
@@ -85,11 +84,11 @@ def _isect_kernel(tri_ref, ro_ref, rd_ref, rng_ref, t_out, idx_out, *,
             & (t < best_t)
         )
         t = jnp.where(valid, t, _BIG)
-        tmin = jnp.min(t, axis=1, keepdims=True)  # [R, 1]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        tmin = jnp.min(t, axis=0, keepdims=True)  # [1, R]
+        subl = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
         imin = jnp.min(
-            jnp.where((t == tmin) & valid, lanes + c * tri_block, _IBIG),
-            axis=1,
+            jnp.where((t == tmin) & valid, subl + c * tri_block, _IBIG),
+            axis=0,
             keepdims=True,
         )
         better = tmin < best_t
@@ -97,9 +96,8 @@ def _isect_kernel(tri_ref, ro_ref, rd_ref, rng_ref, t_out, idx_out, *,
         best_t = jnp.where(better, tmin, best_t)
         return best_t, best_i
 
-    init = (jnp.full((r, 1), _BIG, jnp.float32), jnp.full((r, 1), -1, jnp.int32))
+    init = (jnp.full((1, r), _BIG, jnp.float32), jnp.full((1, r), -1, jnp.int32))
     if any_hit:
-        # early-exit variant: stop scanning chunks once every ray has a hit
         def cond(carry):
             c, (bt, bi) = carry
             return (c < tri_chunks) & jnp.any(bi < 0)
@@ -117,10 +115,10 @@ def _isect_kernel(tri_ref, ro_ref, rd_ref, rng_ref, t_out, idx_out, *,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit",))
-def _isect_call(tris9, ro, rd, rng, any_hit: bool):
-    """tris9: [9, Tpad]; ro/rd: [Npad, 3]; rng: [Npad, 2] (tnear, tfar)."""
-    n = ro.shape[0]
-    tpad = tris9.shape[1]
+def _isect_call(tris12, rays8, any_hit: bool):
+    """tris12: [Tpad, 12]; rays8: [8, Npad]."""
+    n = rays8.shape[1]
+    tpad = tris12.shape[0]
     tri_block = min(TRI_BLOCK, tpad)
     tri_chunks = tpad // tri_block
     grid = (n // RAY_BLOCK,)
@@ -132,95 +130,85 @@ def _isect_call(tris9, ro, rd, rng, any_hit: bool):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((9, tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpad, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
-    )(tris9, ro, rd, rng)
-    return t[:, 0], idx[:, 0]
+    )(tris12, rays8)
+    return t[0], idx[0]
 
 
 def pack_tris(positions) -> jnp.ndarray:
-    """positions [V, 3] -> [9, Tpad] (a, e1, e2 SoA), lane-padded with
-    degenerate triangles."""
+    """positions [V, 3] -> [Tpad, 12] (a, e1, e2, pad) rows, sublane-padded
+    with degenerate triangles."""
     tri_count = positions.shape[0] // 3
-    tris = jnp.asarray(positions[: tri_count * 3]).reshape(tri_count, 3, 3)
+    import numpy as _np
+
+    pos = _np.asarray(positions, _np.float32)
+    tris = pos[: tri_count * 3].reshape(max(tri_count, 1), 3, 3) if tri_count else _np.zeros((1, 3, 3), _np.float32)
     a = tris[:, 0]
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
-    packed = jnp.concatenate([a, e1, e2], axis=-1).T  # [9, T]
-    tpad = max(128, int(np.ceil(tri_count / 128)) * 128)
-    pad = tpad - tri_count
+    packed = _np.concatenate([a, e1, e2, _np.zeros_like(a)], axis=-1)  # [T, 12]
+    tpad = max(TRI_BLOCK, int(_np.ceil(packed.shape[0] / TRI_BLOCK)) * TRI_BLOCK)
+    pad = tpad - packed.shape[0]
     if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, pad)))
-    return packed
+        packed = _np.pad(packed, ((0, pad), (0, 0)))
+    return jnp.asarray(packed)
 
 
-def intersect_pallas_raw(tris9, ro, rd, t_near, t_far):
-    """Closest-hit kernel invocation; returns (t [N], tri [N]) only.
-
-    ro/rd may be SoA V3 or [N, 3] arrays.  Barycentrics/normals are
-    completed by the caller via the fused tri-table fetch
-    (scene._finalize_hit_fused)."""
+def _pack_rays(ro, rd, t_near, t_far):
+    """V3/[N,3] rays -> ([8, Npad], n)."""
     from pim_tpu.math.vec3 import V3
 
-    if isinstance(ro, V3):
-        ro = ro.aos()
-    if isinstance(rd, V3):
-        rd = rd.aos()
-    n = ro.shape[0]
-    npad = int(np.ceil(n / RAY_BLOCK)) * RAY_BLOCK
+    if not isinstance(ro, V3):
+        ro = V3.from_aos(ro)
+    if not isinstance(rd, V3):
+        rd = V3.from_aos(rd)
+    n = ro.x.shape[0]
     t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))
     t_far = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
-    rng = jnp.stack([t_near, t_far], axis=-1)
+    rays8 = jnp.stack([ro.x, ro.y, ro.z, t_near, rd.x, rd.y, rd.z, t_far], axis=0)
+    npad = int(np.ceil(n / RAY_BLOCK)) * RAY_BLOCK
     if npad != n:
-        ro = jnp.pad(ro, ((0, npad - n), (0, 0)))
-        rd = jnp.pad(rd, ((0, npad - n), (0, 0)), constant_values=1.0)
-        rng = jnp.pad(rng, ((0, npad - n), (0, 0)))
-    t, tri = _isect_call(tris9, ro, rd, rng, False)
+        rays8 = jnp.pad(rays8, ((0, 0), (0, npad - n)))
+    return rays8, n
+
+
+def intersect_pallas_raw(tris12, ro, rd, t_near, t_far):
+    """Closest-hit kernel invocation; returns (t [N], tri [N]).
+
+    Hit completion happens in the caller via the fused tri-table fetch
+    (scene._finalize_hit_fused)."""
+    rays8, n = _pack_rays(ro, rd, t_near, t_far)
+    t, tri = _isect_call(tris12, rays8, False)
     return t[:n], tri[:n]
 
 
-def intersect_pallas(tris9, positions, ro, rd, t_near, t_far):
+def occluded_pallas(tris12, ro, rd, t_near, t_far):
+    rays8, n = _pack_rays(ro, rd, t_near, t_far)
+    t, tri = _isect_call(tris12, rays8, True)
+    return (tri >= 0)[:n]
+
+
+def intersect_pallas(tris12, positions, ro, rd, t_near, t_far):
     """Closest-hit with standard Hit completion (gather-based; used by
     tests — the frame path uses intersect_pallas_raw + fused finalize)."""
     from pim_tpu.render.intersect import _finalize_hit, _moller_trumbore, _tri_verts
 
     n = ro.shape[0]
     t_far_b = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
-    t, tri = intersect_pallas_raw(tris9, ro, rd, t_near, t_far)
+    t, tri = intersect_pallas_raw(tris12, ro, rd, t_near, t_far)
     safe = jnp.maximum(tri, 0)
     a, b, c = _tri_verts(positions, safe)
     tt, u, v, det = _moller_trumbore(ro, rd, a, b - a, c - a)
     miss = tri < 0
     t_final = jnp.where(miss, t_far_b, t)
     return _finalize_hit(positions, t_final, tri, u, v, det, t_far_b * 2.0, rd)
-
-
-def occluded_pallas(tris9, ro, rd, t_near, t_far):
-    from pim_tpu.math.vec3 import V3
-
-    if isinstance(ro, V3):
-        ro = ro.aos()
-    if isinstance(rd, V3):
-        rd = rd.aos()
-    n = ro.shape[0]
-    npad = int(np.ceil(n / RAY_BLOCK)) * RAY_BLOCK
-    t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))
-    t_far = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
-    rng = jnp.stack([t_near, t_far], axis=-1)
-    if npad != n:
-        ro = jnp.pad(ro, ((0, npad - n), (0, 0)))
-        rd = jnp.pad(rd, ((0, npad - n), (0, 0)), constant_values=1.0)
-        rng = jnp.pad(rng, ((0, npad - n), (0, 0)), constant_values=-1.0)
-    t, tri = _isect_call(tris9, ro, rd, rng, True)
-    return (tri >= 0)[:n]
