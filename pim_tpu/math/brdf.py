@@ -212,7 +212,11 @@ def brdf_lut_sample(lut: BrdfLut, nov, alpha):
         + jax.nn.one_hot(x0 * size + y1, r, dtype=jnp.float32, axis=0) * w01
         + jax.nn.one_hot(x1 * size + y1, r, dtype=jnp.float32, axis=0) * w11
     )  # [R, N]
-    out = jnp.dot(lut_t, oh, preferred_element_type=jnp.float32)  # [2, N]
+    # HIGHEST: the MXU's default bf16 truncation would quantize both the
+    # bilinear weights and the LUT values (visible as a staircase in the
+    # energy-compensation term and a piecewise-flat roughness gradient)
+    out = jnp.dot(lut_t, oh, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # [2, N]
     return out[0], out[1]
 
 

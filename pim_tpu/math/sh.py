@@ -30,13 +30,13 @@ def sh_l1_project(dirs, radiance):
     dirs [S, 3], radiance [S, 3] -> coeffs [4, 3] (uniform sphere pdf)."""
     basis = sh_l1_basis(dirs)  # [S, 4]
     s = dirs.shape[0]
-    return jnp.einsum("sb,sc->bc", basis, radiance) * (4.0 * PI / s)
+    return jnp.einsum("sb,sc->bc", basis, radiance, precision="highest") * (4.0 * PI / s)
 
 
 def sh_l1_eval(coeffs, dirs):
     """coeffs [4, 3], dirs [..., 3] -> radiance [..., 3]."""
     basis = sh_l1_basis(dirs)
-    return jnp.einsum("...b,bc->...c", basis, coeffs)
+    return jnp.einsum("...b,bc->...c", basis, coeffs, precision="highest")
 
 
 def sh_l1_irradiance(coeffs, normal):
@@ -49,7 +49,7 @@ def sh_l1_irradiance(coeffs, normal):
     )
     # simplifies to per-band scale of the basis projection
     scaled = basis * jnp.asarray([a0, a1, a1, a1])
-    return jnp.einsum("...b,bc->...c", scaled, coeffs) / PI
+    return jnp.einsum("...b,bc->...c", scaled, coeffs, precision="highest") / PI
 
 
 class AmbCube(NamedTuple):
@@ -72,7 +72,7 @@ def ambcube_fit(dirs, radiance) -> AmbCube:
         axis=-1,
     )  # [S, 6]
     wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-6)  # [6]
-    faces = jnp.einsum("sf,sc->fc", w, radiance) / wsum[:, None]
+    faces = jnp.einsum("sf,sc->fc", w, radiance, precision="highest") / wsum[:, None]
     return AmbCube(faces=faces)
 
 

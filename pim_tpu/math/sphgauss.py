@@ -33,7 +33,7 @@ GI_AXII = np.array(
 
 def sg_basis_eval(axes, dirs):
     """e^(sharpness * (cosθ - 1)); axes [K, 4], dirs [..., 3] -> [..., K]."""
-    cos_t = jnp.einsum("kc,...c->...k", axes[:, :3], dirs)
+    cos_t = jnp.einsum("kc,...c->...k", axes[:, :3], dirs, precision="highest")
     return jnp.exp(axes[:, 3] * (cos_t - 1.0))
 
 
@@ -50,7 +50,7 @@ def sg_basis_integral(sharpness):
 def sg_irradiance(axes, amplitudes, normal):
     """Hill's fitted hemispherical irradiance (ref sphgauss.h:66-100).
     axes [K,4], amplitudes [..., K, 4], normal [..., 3] -> [..., 3]."""
-    mu_dot_n = jnp.einsum("kc,...c->...k", axes[:, :3], normal)  # [..., K]
+    mu_dot_n = jnp.einsum("kc,...c->...k", axes[:, :3], normal, precision="highest")  # [..., K]
     lam = axes[:, 3]
     c0 = 0.36
     c1 = 1.0 / (4.0 * 0.36)

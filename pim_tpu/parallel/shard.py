@@ -80,51 +80,47 @@ def make_sharded_train_step(meta: SceneMeta, mesh: Mesh, width: int, height: int
     """The FULL differentiable training step, sharded over 'dp'.
 
     Loss = L2 between the rendered image and a target; parameters = the
-    material atlas (albedo/rome texels).  Per-device: raygen -> wavefront
-    trace -> local loss; gradients all-reduce with psum over the mesh (the
-    overlap-with-backward-wavefront pattern rides XLA's scheduler).
-    Returns step(arrays, lights, cam, target, sample_idx)
-        -> (loss, new_arrays, live).
+    whole DiffParams surface (flat material albedo/ROME, atlas texels,
+    sun, camera — see render.diff).  Per-device: raygen -> wavefront
+    trace -> local loss; gradients all-reduce with psum over the mesh
+    (the overlap-with-backward-wavefront pattern rides XLA's scheduler).
+    Returns step(params, arrays, lights, cam, target, sample_idx)
+        -> (loss, new_params, new_lights).
     """
+    from pim_tpu.render.diff import make_loss_fn
+
     n = width * height
     n_dev = mesh.devices.size
     assert n % n_dev == 0
+    loss_fn = make_loss_fn(meta, width, height, max_bounces)
 
-    def local_loss(atlas, arrays: SceneArrays, lights, cam, target, pixel_ids, sample_idx):
-        arrays = arrays._replace(atlas=atlas)
-        state = rng.make_state(pixel_ids, sample_idx)
-        state, ro, rd = _raygen_for_pixels(cam, width, height, pixel_ids, state)
-        res = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces)
-        loss = jnp.mean((res.color - target) ** 2)
-        return loss, res.live
-
-    def shard_body(arrays, lights, cam, target, pixel_ids, sample_idx):
-        (loss, live), g_atlas = jax.value_and_grad(local_loss, has_aux=True)(
-            arrays.atlas, arrays, lights, cam, target, pixel_ids, sample_idx
+    def shard_body(params, arrays, lights, cam, target, pixel_ids, sample_idx):
+        (loss, live), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, arrays, lights, cam, target, sample_idx, pixel_ids
         )
-        # gradient + loss all-reduce across the data-parallel axis
+        # gradient + loss all-reduce across the data-parallel axis (the
+        # reference's only cross-worker communication is its atomic light
+        # histogram — here it is the psum'd live tensor, SURVEY.md §2.9)
         loss = jax.lax.pmean(loss, "dp")
-        g_atlas = jax.lax.pmean(g_atlas, "dp")
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
         live = jax.lax.psum(live, "dp")
-        new_atlas = arrays.atlas - lr * g_atlas
-        return loss, new_atlas, live
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return loss, new_params, live
 
     sharded = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P("dp"), P()),
+        in_specs=(P(), P(), P(), P(), P("dp"), P("dp"), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def step(arrays, lights, cam, target, sample_idx):
+    def step(params, arrays, lights, cam, target, sample_idx):
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
-        loss, new_atlas, live = sharded(
-            arrays, lights, cam, target, pixel_ids, sample_idx
+        loss, new_params, live = sharded(
+            params, arrays, lights, cam, target, pixel_ids, sample_idx
         )
-        return loss, arrays._replace(atlas=new_atlas), lights._replace(
-            live=lights.live + live
-        )
+        return loss, new_params, lights._replace(live=lights.live + live)
 
     return step

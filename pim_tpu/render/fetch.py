@@ -19,12 +19,18 @@ ONEHOT_MAX_ROWS = 1024
 
 
 def fetch_cols(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table_t [F, T], idx int [N] -> [F, N] (columns of the table)."""
+    """table_t [F, T], idx int [N] -> [F, N] (columns of the table).
+
+    precision=HIGHEST is load-bearing: the MXU's DEFAULT precision
+    truncates f32 operands to bf16, which would quantize every fetched
+    attribute (vertex positions included — geometric cracks).  A one-hot
+    fetch must reproduce the stored values exactly."""
     t = table_t.shape[1]
     if t > ONEHOT_MAX_ROWS:
         return table_t[:, idx]
     oh = jax.nn.one_hot(idx, t, dtype=table_t.dtype, axis=0)  # [T, N]
-    return jnp.dot(table_t, oh, preferred_element_type=table_t.dtype)
+    return jnp.dot(table_t, oh, preferred_element_type=table_t.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def select_columns(rows: jnp.ndarray, col_idx: jnp.ndarray):

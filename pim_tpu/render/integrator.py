@@ -111,11 +111,20 @@ def trace_rays(
     state,
     max_bounces: int,
     media_desc=None,
+    mis_both: bool = False,
+    use_rr: bool = True,
 ) -> TraceResult:
     """Trace a batch of rays to completion.
 
     ro/rd: V3 of [N] (or [N, 3] arrays, converted); state: rng.RngState.
     media_desc: MediaDesc when meta.media_enabled (captured statically).
+    mis_both: deterministic two-ray full-MIS NEE (the differentiable
+    path; see lights.estimate_direct) instead of stochastic selection.
+    use_rr: Russian roulette termination (ref :2319-2331).  The
+    differentiable path disables it — the survive/die comparison depends
+    on the throughput, so parameter perturbations flip lanes discretely,
+    which AD cannot follow (SURVEY.md §7 hard part #3); a fixed bounce
+    budget keeps the estimator smooth.
     """
     if meta.media_enabled and media_desc is None:
         from pim_tpu.render.media import make_media_desc
@@ -153,12 +162,13 @@ def trace_rays(
         lum = carry["lum"]
 
         # --- Russian roulette (ref :2319-2331) -----------------------------
-        p = saturate(avg_lum3(atten))
         state, u_rr = rng.next_f32(state)
-        survive = u_rr < p
-        scale = jnp.where(alive & survive, 1.0 / jnp.maximum(p, EPS), 1.0)
-        atten = atten * scale
-        alive = alive & survive
+        if use_rr:
+            p = saturate(avg_lum3(atten))
+            survive = u_rr < p
+            scale = jnp.where(alive & survive, 1.0 / jnp.maximum(p, EPS), 1.0)
+            atten = atten * scale
+            alive = alive & survive
 
         # --- extend ray (ref :2333) ----------------------------------------
         rays = carry["rays"] + jnp.sum(alive.astype(jnp.float32))
@@ -233,9 +243,11 @@ def trace_rays(
         alive = alive & (media_scattered | ~is_sky_surf)
 
         # --- NEE (ref :2384-2387) ------------------------------------------
-        rays = rays + jnp.sum(surf_alive.astype(jnp.float32))
+        nee_rays = 2.0 if mis_both else 1.0
+        rays = rays + nee_rays * jnp.sum(surf_alive.astype(jnp.float32))
         state, li = estimate_direct(
-            meta, arrays, lights, lut, surf, hit.tri, rd, state
+            meta, arrays, lights, lut, surf, hit.tri, rd, state,
+            both=mis_both,
         )
         lum = lum + li * atten * surf_alive.astype(jnp.float32)
 

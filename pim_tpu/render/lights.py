@@ -87,8 +87,18 @@ def estimate_direct(
     src_tri,
     i_dir: V3,
     state,
+    both: bool = False,
 ):
     """One-sample MIS direct lighting (ref EstimateDirect :1849-1919).
+
+    `both=False` (default, the perf path): the reference's stochastic
+    strategy selection — one unified ray, strategy picked with probability
+    lerp(0.05, 0.95, roughness).  `both=True` (the differentiable path):
+    deterministic full MIS — BOTH strategies trace a ray and both
+    power-heuristic-weighted contributions are summed.  This removes the
+    roughness-dependent discrete selection (whose boundary term AD cannot
+    see), making the estimator smooth in the material parameters, and
+    lowers variance at the cost of one extra ray per bounce.
     Returns (state, radiance V3)."""
     if meta.emissive_count == 0:
         return state, V3.zeros(src_tri.shape)
@@ -97,6 +107,12 @@ def estimate_direct(
     p_smooth = 1.0 - p_rough
     state, u_strat = rng.next_f32(state)
     use_light = u_strat < p_rough
+    if both:
+        # both strategies always run: no selection probabilities
+        p_rough = jnp.float32(1.0)
+        p_smooth = jnp.float32(1.0)
+        true_ = jnp.ones(src_tri.shape, bool)
+        use_light = true_
 
     # --- light-strategy sample ---------------------------------------------
     state, u_sel = rng.next_f32(state)
@@ -119,49 +135,67 @@ def estimate_direct(
     # --- bsdf-strategy sample ----------------------------------------------
     state, scat = scatter_principled(lut, surf, i_dir, state, occluded_fn=None)
 
-    # --- unified trace ------------------------------------------------------
-    rd = where3(use_light, rd_light, scat.dir)
-    t_far = jnp.where(use_light, dist + 0.01 * MILLI, RCP_EPS)
-    hit = scene_intersect(meta, arrays, surf.p, rd, 0.0, t_far)
-    at = fetch_hit_attribs(meta, arrays, hit)
-    emission = get_emission_from_attribs(meta, arrays, rd, at)
-    hit_area = at.rows[F.AREA]
-    hit_emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
+    # --- trace: one unified ray (stochastic) or two rays (full MIS) ---------
+    if both:
+        hit_l = scene_intersect(meta, arrays, surf.p, rd_light, 0.0,
+                                dist + 0.01 * MILLI)
+        at_l = fetch_hit_attribs(meta, arrays, hit_l)
+        emission_l = get_emission_from_attribs(meta, arrays, rd_light, at_l)
+        hit_b = scene_intersect(meta, arrays, surf.p, scat.dir, 0.0, RCP_EPS)
+        at_b = fetch_hit_attribs(meta, arrays, hit_b)
+        emission_b = get_emission_from_attribs(meta, arrays, scat.dir, at_b)
+        hit_l_tri, hit_l_ng = hit_l.tri, hit_l.ng
+        hit_b_tri, hit_b_ng, hit_b_t = hit_b.tri, hit_b.ng, hit_b.t
+        hit_area = at_b.rows[F.AREA]
+        hit_emit = at_b.rows[F.EMIT_IDX].astype(jnp.int32)
+    else:
+        rd = where3(use_light, rd_light, scat.dir)
+        t_far = jnp.where(use_light, dist + 0.01 * MILLI, RCP_EPS)
+        hit = scene_intersect(meta, arrays, surf.p, rd, 0.0, t_far)
+        at = fetch_hit_attribs(meta, arrays, hit)
+        emission = get_emission_from_attribs(meta, arrays, rd, at)
+        hit_area = at.rows[F.AREA]
+        hit_emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
+        hit_l_tri, hit_l_ng = hit.tri, hit.ng
+        hit_b_tri, hit_b_ng, hit_b_t = hit.tri, hit.ng, hit.t
+        emission_l = emission
+        emission_b = emission
 
     # --- light-strategy MIS -------------------------------------------------
-    hit_light = (hit.tri >= 0) & (hit.tri == l_tri)
-    cos_theta = jnp.abs(dot(rd, hit.ng))
+    hit_light = (hit_l_tri >= 0) & (hit_l_tri == l_tri)
+    cos_theta = jnp.abs(dot(rd_light, hit_l_ng))
     sample_pdf = light_pdf(area, cos_theta, dist_sq)
     lp = sample_pdf * select_pdf * p_rough
-    brdf_a, brdf_p = eval_principled(lut, surf, i_dir, rd)
+    brdf_a, brdf_p = eval_principled(lut, surf, i_dir, rd_light)
     bp = brdf_p * p_smooth
-    li_light = emission * brdf_a
+    li_light = emission_l * brdf_a
     w_light = power_heuristic(lp, bp) / jnp.maximum(lp, EPS)
     ok_light = (
         use_light & sel_ok & hit_light & (src_tri != l_tri)
-        & (lp > EPS) & (bp > EPS) & (max3(emission) > EPS)
+        & (lp > EPS) & (bp > EPS) & (max3(emission_l) > EPS)
     )
     contrib_light = li_light * (w_light * ok_light.astype(jnp.float32))
 
     # --- bsdf-strategy MIS --------------------------------------------------
     bp2 = scat.pdf * p_smooth
-    hit_any = hit.tri >= 0
-    h_dist_sq = jnp.maximum(hit.t * hit.t, EPS)
-    lp2 = light_pdf(hit_area, jnp.abs(dot(rd, hit.ng)), h_dist_sq) * p_rough
+    hit_any = hit_b_tri >= 0
+    h_dist_sq = jnp.maximum(hit_b_t * hit_b_t, EPS)
+    lp2 = light_pdf(hit_area, jnp.abs(dot(scat.dir, hit_b_ng)), h_dist_sq) * p_rough
     lp2 = lp2 * light_select_pdf_from_rows(
         pdf_rows, cell_act, hit_emit, meta.emissive_count
     )
-    li_brdf = emission * scat.attenuation
+    li_brdf = emission_b * scat.attenuation
     w_brdf = power_heuristic(bp2, lp2) / jnp.maximum(bp2, EPS)
     ok_brdf = (
-        (~use_light) & hit_any & (bp2 > EPS) & (lp2 > EPS)
-        & (max3(emission) > EPS)
+        (both | ~use_light) & hit_any & (bp2 > EPS) & (lp2 > EPS)
+        & (max3(emission_b) > EPS)
     )
     contrib_brdf = li_brdf * (w_brdf * ok_brdf.astype(jnp.float32))
 
     refractive = (surf.flags & int(MatFlag.REFRACTIVE)) != 0
-    result = where3(
-        refractive, V3.zeros(src_tri.shape),
-        where3(use_light, contrib_light, contrib_brdf),
-    )
+    if both:
+        combined = contrib_light + contrib_brdf
+    else:
+        combined = where3(use_light, contrib_light, contrib_brdf)
+    result = where3(refractive, V3.zeros(src_tri.shape), combined)
     return state, result

@@ -79,7 +79,13 @@ def atmosphere(sky: SkyMedium, ro, rd, light_dir, luminance, steps: int):
 
     def density(p):
         h = jnp.sqrt(jnp.maximum(jnp.sum(p * p, -1), EPS)) - sky.r_crust
-        return h, jnp.exp(-h * sky.rho_r), jnp.exp(-h * sky.rho_m)
+        # below-crust lanes (h << 0) are masked out of the march, but an
+        # unclamped exp overflows to inf there and reverse-mode then forms
+        # 0 * inf = NaN through the where mask, poisoning sun_dir grads;
+        # clip the exponent (densities are <= 1 above the crust anyway)
+        dr = jnp.exp(jnp.minimum(-h * sky.rho_r, 0.0))
+        dm = jnp.exp(jnp.minimum(-h * sky.rho_m, 0.0))
+        return h, dr, dm
 
     def sun_march(pos_v):
         """Optical depth along light_dir from pos_v; masked fixed march."""
