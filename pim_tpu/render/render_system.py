@@ -198,8 +198,20 @@ class RenderSystem:
 
     # --- outputs ------------------------------------------------------------
 
-    def image_hdr(self) -> np.ndarray:
-        return np.asarray(self.buffers.color).reshape(self.height, self.width, 3)
+    def image_hdr(self, denoised: Optional[bool] = None) -> np.ndarray:
+        """The accumulated HDR buffer; denoised when pt_denoise is on
+        (ref PathTrace denoise branch, render_system.c:311-330)."""
+        color = self.buffers.color
+        if denoised is None:
+            denoised = bool(cv.cv_pt_denoise.get())
+        if denoised:
+            from pim_tpu.render.denoise import DenoiseType, denoise
+
+            color = denoise(
+                DenoiseType.Image, self.width, self.height, color,
+                albedo=self.buffers.albedo, normal=self.buffers.normal,
+            )
+        return np.asarray(color).reshape(self.height, self.width, 3)
 
     def stddev(self) -> float:
         return float(luminance_stddev(self.buffers.color))
@@ -211,7 +223,7 @@ class RenderSystem:
         if name is None:
             name = _time.strftime("%Y_%m_%d_%H_%M_%S")
         path = os.path.join("screenshots", f"{name}.png")
-        hdr = self.buffers.color.reshape(self.height, self.width, 3)
+        hdr = jnp.asarray(self.image_hdr())
         srgb = tonemap_for_display(hdr, self.exp_state.exposure)
         rgb8 = quantize_dithered(srgb)
         write_png(path, rgb8, flip_vertical=True)
@@ -260,6 +272,10 @@ class RenderSystem:
             q.enqueue("pt_trace 1")
             q.enqueue(f"wait {frames}")
             q.enqueue("pt_stddev")
+            # ref pt_test (:1362-1371): denoised + raw screenshot pair
+            q.enqueue("pt_denoise 1")
+            q.enqueue("screenshot")
+            q.enqueue("pt_denoise 0")
             q.enqueue("screenshot; pt_trace 0")
             q.enqueue("quit")
             return CmdStat.OK
@@ -273,6 +289,9 @@ class RenderSystem:
             return CmdStat.OK
 
         def cmd_screenshot(argv: List[str]) -> CmdStat:
+            if self.buffers is None:
+                con_logf(LogSev.Error, "Sc", "nothing rendered yet")
+                return CmdStat.ERR
             self.screenshot(argv[1] if len(argv) > 1 else None)
             return CmdStat.OK
 
