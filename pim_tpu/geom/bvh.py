@@ -33,7 +33,21 @@ class BvhArrays(NamedTuple):
 _NUM_BINS = 16
 
 
-def build_bvh(positions: np.ndarray, max_leaf: int = 4) -> BvhArrays:
+def build_bvh(positions: np.ndarray, max_leaf: int = 4,
+              prefer_native: bool = True) -> BvhArrays:
+    """Builds the BVH, preferring the native C++ builder
+    (pim_tpu/native/bvh_builder.cpp) for big scenes; the numpy builder
+    below is the always-available oracle with identical output semantics."""
+    if prefer_native:
+        from pim_tpu import native
+
+        out = native.build_bvh_native(positions, max_leaf)
+        if out is not None:
+            return out
+    return build_bvh_numpy(positions, max_leaf)
+
+
+def build_bvh_numpy(positions: np.ndarray, max_leaf: int = 4) -> BvhArrays:
     """positions: [V, 3] float32, V = 3*T (flat soup)."""
     v = np.asarray(positions, np.float32)
     tri_count = v.shape[0] // 3
