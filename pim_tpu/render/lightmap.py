@@ -122,13 +122,17 @@ class LmPack(NamedTuple):
 
 
 def pack_lightmaps(positions: np.ndarray, normals: np.ndarray,
-                   texels_per_meter: float = 4.0, atlas_size: int = 1024,
+                   texels_per_meter: float = 4.0,
+                   atlas_size: Optional[int] = None,
                    ) -> Optional[LmPack]:
     """Chart + rasterize + embed (ref LmPack_Pack :1047 + EmbedTaskFn :947).
 
     Returns None when the scene is empty.  Shelf-packs chart bounding boxes
     (the ref packs occupancy masks; bounding boxes trade some atlas waste
-    for a fully-vectorizable embed)."""
+    for a fully-vectorizable embed).  ``atlas_size=None`` auto-sizes: the
+    smallest power of two (≤1024, the ref's page size lightmap.c:680) whose
+    area covers the summed chart rects with 2x slack — keeping the dense
+    bake wavefront proportional to live texels, not a fixed page."""
     tri_count = positions.shape[0] // 3
     if tri_count == 0:
         return None
@@ -145,6 +149,17 @@ def pack_lightmaps(positions: np.ndarray, normals: np.ndarray,
         ext = ch.uv_max - ch.uv_min
         ch.w = max(int(np.ceil(ext[0] * texels_per_meter)) + 1, 1)
         ch.h = max(int(np.ceil(ext[1] * texels_per_meter)) + 1, 1)
+
+    if atlas_size is None:
+        area = sum(ch.w * ch.h for ch in charts)
+        wmax = max(max(ch.w for ch in charts), max(ch.h for ch in charts))
+        atlas_size = 32
+        while atlas_size < 1024 and (
+            atlas_size * atlas_size < 2 * area or atlas_size < wmax
+        ):
+            atlas_size *= 2
+
+    for ch in charts:
         ch.w = min(ch.w, atlas_size)
         ch.h = min(ch.h, atlas_size)
 

@@ -117,8 +117,11 @@ class RenderSystem:
     exp_state: ExposureState = field(default_factory=make_exposure_state)
     sample_count: int = 0
     scene_modtime: int = -1
+    lm_pack: object = None
+    _lm_frame: int = 0
     _step = None
     _cam_snapshot: tuple = ()
+    _sky_versions: dict = field(default_factory=dict)
 
     def init(self) -> None:
         self._register_cmds()
@@ -170,6 +173,10 @@ class RenderSystem:
             self._cam_snapshot = snap
             self.reset_accumulation()
 
+        self._bake_sky()
+        self._lightmap_trace()
+        self._cubemap_trace()
+
         if self._step is None:
             self._step = _make_frame_step(
                 self.meta, self.width, self.height,
@@ -195,6 +202,82 @@ class RenderSystem:
                 jnp.asarray(self.dof.autofocus),
             )
         self.dof.focal_length = float(focal)
+
+    # --- progressive bakes (ref RenderSys_Update :181-245,427-494) ----------
+
+    def _bake_sky(self) -> None:
+        """Dirty-checked sky cubemap rebake (ref BakeSky :427-494): when any
+        sun/atmosphere cvar changes and the scene has a sky material, rebake
+        ``arrays.sky`` and restart accumulation."""
+        if not getattr(self.meta, "has_sky", False):
+            return
+        watched = (cv.cv_r_sun_dir, cv.cv_r_sun_lum, cv.cv_r_sun_res,
+                   cv.cv_r_sun_steps, cv.cv_sky_rad_cr, cv.cv_sky_rad_at,
+                   cv.cv_sky_rlh_mfp, cv.cv_sky_rlh_sh, cv.cv_sky_mie_mfp,
+                   cv.cv_sky_mie_sh, cv.cv_sky_mie_g)
+        dirty = False
+        for c in watched:
+            d, v = c.check_dirty(self._sky_versions.get(c.name, -1))
+            self._sky_versions[c.name] = v
+            dirty = dirty or d
+        if not dirty:
+            return
+        from pim_tpu.render.sky import atmosphere_from_cvars, bake_sky_cubemap
+
+        with profile("BakeSky"):
+            sd = np.asarray(cv.cv_r_sun_dir.get()[:3], np.float32)
+            sd = sd / max(np.linalg.norm(sd), 1e-6)
+            cube = bake_sky_cubemap(
+                atmosphere_from_cvars(), sd, float(cv.cv_r_sun_lum.get()),
+                int(cv.cv_r_sun_res.get()), int(cv.cv_r_sun_steps.get()))
+            self.arrays = self.arrays._replace(sky=cube)
+        self.reset_accumulation()
+
+    def _lightmap_trace(self) -> None:
+        """Progressive SG lightmap bake while lm_gen=1 (ref Lightmap_Trace
+        :181-213): pack once, then one timesliced bake_step per frame."""
+        if not cv.cv_lm_gen.get():
+            return
+        from pim_tpu.geom.entities import flatten
+        from pim_tpu.render import lightmap as lm
+
+        if self.lm_pack is None:
+            flat = flatten(self.entities)
+            self.lm_pack = lm.pack_lightmaps(
+                flat.positions, flat.normals,
+                texels_per_meter=float(cv.cv_lm_density.get()))
+            self._lm_frame = 0
+            if self.lm_pack is None:
+                return
+        with profile("Lightmap_Trace"):
+            slices = max(int(cv.cv_lm_timeslice.get()), 1)
+            t_total = self.lm_pack.position.shape[1]
+            shard = -(-t_total // slices)
+            off = (self._lm_frame % slices) * shard
+            count = min(shard, t_total - off)
+            if count > 0:
+                for _ in range(int(cv.cv_lm_spp.get())):
+                    self.lm_pack = lm.bake_step(
+                        self.meta, self.arrays, self.lights, self.lm_pack,
+                        self._lm_frame, max_bounces=cv.cv_pt_max_bounces.get(),
+                        texel_offset=off, texel_count=count)
+            self._lm_frame += 1
+
+    def _cubemap_trace(self) -> None:
+        """Progressive reflection-probe bake while r_refl_gen=1 (ref
+        Cubemap_Trace :216-245): bake+convolve every registered probe."""
+        if not cv.cv_r_refl_gen.get():
+            return
+        from pim_tpu.render.cubemap import get_registry
+
+        reg = get_registry()
+        if not reg.names():
+            reg.add("default", 64)
+        with profile("Cubemap_Trace"):
+            for name in reg.names():
+                reg.bake(name, self.meta, self.arrays, self.lights,
+                         np.asarray(self.camera.position, np.float32),
+                         max_bounces=cv.cv_pt_max_bounces.get())
 
     # --- outputs ------------------------------------------------------------
 
