@@ -145,10 +145,22 @@ def prefilter_mip(
     cubemap.c:191-222).  Hammersley half-vector set, rotated per
     progressive step by a per-step Cranley-Patterson offset; fetches are
     batched [texels, samples] bilinear reads of the mip-0 color planes."""
+    from pim_tpu.core import rng as _rng
+
     size = color.shape[1]
     msize = max(size >> mip, 1)
     n = 6 * msize * msize
-    dirs = calc_dirs_jittered(msize, jnp.zeros((n, 2), jnp.float32))
+    # tent-jitter the per-texel normal per progressive step (ref PrefilterFn
+    # cubemap.c:254-256 jitters N per pass) so the estimate integrates over
+    # the texel footprint instead of a fixed quadrature
+    st = _rng.make_state(
+        jnp.arange(n, dtype=jnp.uint32),
+        jnp.asarray(sample_idx, jnp.uint32),
+        seed=0x0C0B0E01 + mip,
+    )
+    st, (jx, jy) = _rng.next_f32x2(st)
+    xi = jnp.stack([_tent(jx), _tent(jy)], axis=-1)
+    dirs = calc_dirs_jittered(msize, xi)
     nrm = V3.from_aos(dirs)
 
     roughness = mip_to_roughness(float(mip), max_mip)
@@ -156,9 +168,12 @@ def prefilter_mip(
 
     i = jnp.arange(sample_count, dtype=jnp.uint32)
     u, v = hammersley_2d(i, sample_count)
-    # per-step rotation keeps the progressive average unbiased
-    rot = jnp.asarray(sample_idx, jnp.float32) * 0.61803398875
-    u = jnp.mod(u + rot, 1.0)
+    # per-step Cranley-Patterson rotation of BOTH strata keeps the
+    # progressive average converging to the true GGX integral rather than
+    # one fixed sample_count-point quadrature (ADVICE r1)
+    s_idx = jnp.asarray(sample_idx, jnp.float32)
+    u = jnp.mod(u + s_idx * 0.61803398875, 1.0)
+    v = jnp.mod(v + s_idx * 0.7548776662466927, 1.0)
 
     def one_sample(us, vs):
         h_ts = sample_ggx_microfacet(us, vs, alpha)
@@ -223,6 +238,8 @@ class CubemapRegistry:
         self._probes: Dict[str, Cubemap] = {}
         self._bounds: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._samples: Dict[str, int] = {}
+        self._origins: Dict[str, np.ndarray] = {}
+        self._baked_from: Dict[str, np.ndarray] = {}
 
     def add(self, name: str, size: int, lo=None, hi=None) -> Cubemap:
         if name in self._probes:
@@ -248,11 +265,37 @@ class CubemapRegistry:
     def names(self):
         return list(self._probes)
 
-    def bake(self, name: str, meta, arrays, lights, origin,
+    def reset_samples(self, name: Optional[str] = None) -> None:
+        """Restart a probe's (or all probes') progressive average — the ref
+        resets sampleCount when cv_r_refl_gen goes dirty."""
+        for n in ([name] if name else list(self._samples)):
+            self._samples[n] = 0
+
+    def probe_origin(self, name: str, fallback_origin=None) -> np.ndarray:
+        """Bake origin: the probe's bounds center (ref box_center(bounds),
+        render_system.c:235-239) when bounded, else the frozen fallback."""
+        lo, hi = self._bounds[name]
+        if np.all(np.isfinite(lo)) and np.all(np.abs(lo) < 1e8) and np.all(np.abs(hi) < 1e8):
+            return ((lo + hi) * 0.5).astype(np.float32)
+        if name not in self._origins:
+            self._origins[name] = np.asarray(
+                fallback_origin if fallback_origin is not None else [0, 0, 0],
+                np.float32,
+            )
+        return self._origins[name]
+
+    def bake(self, name: str, meta, arrays, lights, fallback_origin=None,
              max_bounces: int = 4, convolve_samples: int = 32) -> Cubemap:
         """One progressive bake+convolve step (ref render_system.c:216-245
-        Cubemap_Trace: weight = 1/++sampleCount)."""
+        Cubemap_Trace: weight = 1/++sampleCount).  The origin is fixed per
+        probe; if it ever changes, the running average resets rather than
+        mixing radiance baked from two viewpoints."""
         cm = self._probes[name]
+        origin = self.probe_origin(name, fallback_origin)
+        prev = self._baked_from.get(name)
+        if prev is not None and not np.allclose(prev, origin):
+            self._samples[name] = 0
+        self._baked_from[name] = np.asarray(origin, np.float32).copy()
         self._samples[name] += 1
         w = 1.0 / self._samples[name]
         cm = bake_step(meta, arrays, lights, cm, origin, self._samples[name] - 1,

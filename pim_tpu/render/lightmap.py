@@ -4,7 +4,7 @@ Counterpart of src/rendering/lightmap.{c,h} (1,409 LoC):
 - triangles cluster into planar charts (chart_group :451-646 — normal/plane
   thresholds; oversized charts split),
 - charts rasterize occupancy and pack into square atlases (:174-283, 680),
--每 texel embeds world position/normal (EmbedTaskFn :947),
+- each texel embeds world position/normal (EmbedTaskFn :947),
 - a progressive stochastic bake fits 5 spherical gaussians per texel
   (BakeFn :1125-1201): hemisphere rays through the path tracer,
   Roughton running-fit accumulation, per-texel sample counts (resumable).
@@ -150,7 +150,8 @@ def pack_lightmaps(positions: np.ndarray, normals: np.ndarray,
         ch.w = max(int(np.ceil(ext[0] * texels_per_meter)) + 1, 1)
         ch.h = max(int(np.ceil(ext[1] * texels_per_meter)) + 1, 1)
 
-    if atlas_size is None:
+    auto_grow = atlas_size is None
+    if auto_grow:
         area = sum(ch.w * ch.h for ch in charts)
         wmax = max(max(ch.w for ch in charts), max(ch.h for ch in charts))
         atlas_size = 32
@@ -159,27 +160,53 @@ def pack_lightmaps(positions: np.ndarray, normals: np.ndarray,
         ):
             atlas_size *= 2
 
-    for ch in charts:
-        ch.w = min(ch.w, atlas_size)
-        ch.h = min(ch.h, atlas_size)
+    # shelf pack; on real overflow retry with a doubled atlas (up to the
+    # ref's 1024 page, lightmap.c:680) instead of silently dropping charts
+    def _shelf_pack(size: int) -> bool:
+        order = sorted(range(len(charts)), key=lambda i: -charts[i].h)
+        shelf_x = shelf_y = shelf_h = 0
+        for ci in order:
+            ch = charts[ci]
+            if ch.w > size or ch.h > size:
+                return False
+            if shelf_x + ch.w > size:
+                shelf_y += shelf_h
+                shelf_x = 0
+                shelf_h = 0
+            if shelf_y + ch.h > size:
+                return False
+            ch.atlas_x = shelf_x
+            ch.atlas_y = shelf_y
+            shelf_x += ch.w
+            shelf_h = max(shelf_h, ch.h)
+        return True
 
-    # shelf pack
-    order = sorted(range(len(charts)), key=lambda i: -charts[i].h)
-    shelf_x = shelf_y = shelf_h = 0
-    for ci in order:
-        ch = charts[ci]
-        if shelf_x + ch.w > atlas_size:
-            shelf_y += shelf_h
-            shelf_x = 0
-            shelf_h = 0
-        if shelf_y + ch.h > atlas_size:
-            con_logf(LogSev.Warning, "lm", "atlas overflow; clamping chart")
-            ch.w = ch.h = 0
+    while not _shelf_pack(atlas_size):
+        if auto_grow and atlas_size < 1024:
+            atlas_size *= 2
             continue
-        ch.atlas_x = shelf_x
-        ch.atlas_y = shelf_y
-        shelf_x += ch.w
-        shelf_h = max(shelf_h, ch.h)
+        # terminal overflow: clamp oversize charts and pack what fits
+        con_logf(LogSev.Warning, "lm", "atlas overflow at %d; clamping charts",
+                 atlas_size)
+        for ch in charts:
+            ch.w = min(ch.w, atlas_size)
+            ch.h = min(ch.h, atlas_size)
+        order = sorted(range(len(charts)), key=lambda i: -charts[i].h)
+        shelf_x = shelf_y = shelf_h = 0
+        for ci in order:
+            ch = charts[ci]
+            if shelf_x + ch.w > atlas_size:
+                shelf_y += shelf_h
+                shelf_x = 0
+                shelf_h = 0
+            if shelf_y + ch.h > atlas_size:
+                ch.w = ch.h = 0
+                continue
+            ch.atlas_x = shelf_x
+            ch.atlas_y = shelf_y
+            shelf_x += ch.w
+            shelf_h = max(shelf_h, ch.h)
+        break
 
     # embed world attributes per texel (rasterize chart tris in uv space)
     t = atlas_size * atlas_size

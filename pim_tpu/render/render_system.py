@@ -122,6 +122,7 @@ class RenderSystem:
     _step = None
     _cam_snapshot: tuple = ()
     _sky_versions: dict = field(default_factory=dict)
+    _refl_version: int = -1
 
     def init(self) -> None:
         self._register_cmds()
@@ -256,27 +257,41 @@ class RenderSystem:
             off = (self._lm_frame % slices) * shard
             count = min(shard, t_total - off)
             if count > 0:
-                for _ in range(int(cv.cv_lm_spp.get())):
+                spp = max(int(cv.cv_lm_spp.get()), 1)
+                # distinct sample counter per spp pass: bake_step seeds its
+                # rng from (texel_id, frame), so reusing one frame value
+                # would fold identical rays spp times (ADVICE r1)
+                for k in range(spp):
                     self.lm_pack = lm.bake_step(
                         self.meta, self.arrays, self.lights, self.lm_pack,
-                        self._lm_frame, max_bounces=cv.cv_pt_max_bounces.get(),
+                        self._lm_frame * spp + k,
+                        max_bounces=cv.cv_pt_max_bounces.get(),
                         texel_offset=off, texel_count=count)
             self._lm_frame += 1
 
     def _cubemap_trace(self) -> None:
         """Progressive reflection-probe bake while r_refl_gen=1 (ref
-        Cubemap_Trace :216-245): bake+convolve every registered probe."""
-        if not cv.cv_r_refl_gen.get():
-            return
+        Cubemap_Trace :216-245): bake+convolve every registered probe.
+
+        Probes bake from their own bounds center (ref box_center(bounds),
+        render_system.c:235-239), NOT the camera — the camera is only the
+        fallback origin for unbounded probes, frozen at first bake.  The
+        per-probe sample count resets when r_refl_gen goes dirty."""
+        d, v = cv.cv_r_refl_gen.check_dirty(self._refl_version)
+        self._refl_version = v
         from pim_tpu.render.cubemap import get_registry
 
         reg = get_registry()
+        if d:
+            reg.reset_samples()
+        if not cv.cv_r_refl_gen.get():
+            return
         if not reg.names():
             reg.add("default", 64)
         with profile("Cubemap_Trace"):
             for name in reg.names():
                 reg.bake(name, self.meta, self.arrays, self.lights,
-                         np.asarray(self.camera.position, np.float32),
+                         fallback_origin=np.asarray(self.camera.position, np.float32),
                          max_bounces=cv.cv_pt_max_bounces.get())
 
     # --- outputs ------------------------------------------------------------
