@@ -11,15 +11,20 @@ Pallas kernels instead).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 # above this many rows, one-hot HBM traffic outweighs the win
 ONEHOT_MAX_ROWS = 1024
+# pallas fused-gather limits (see render/gather_kernel.py)
+_PALLAS_GATHER_MAX_T = 4096
+_PALLAS_GATHER_MIN_N = 2048
 
 
-def fetch_cols(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table_t [F, T], idx int [N] -> [F, N] (columns of the table).
+def _fetch_cols_onehot(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """XLA one-hot fallback (CPU tests, tiny batches, oversized tables).
 
     precision=HIGHEST is load-bearing: the MXU's DEFAULT precision
     truncates f32 operands to bf16, which would quantize every fetched
@@ -31,6 +36,53 @@ def fetch_cols(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     oh = jax.nn.one_hot(idx, t, dtype=table_t.dtype, axis=0)  # [T, N]
     return jnp.dot(table_t, oh, preferred_element_type=table_t.dtype,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _fetch_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    from pim_tpu.render.gather_kernel import gather_cols_pallas
+
+    return gather_cols_pallas(table_t, idx)
+
+
+def _fetch_cols_pallas_fwd(table_t, idx):
+    return _fetch_cols_pallas(table_t, idx), (idx, table_t.shape[1])
+
+
+def _fetch_cols_pallas_bwd(res, g):
+    # d/dtable of table[:, idx] is a column scatter-add (backward runs only
+    # on the differentiable path, never the hot forward frame)
+    idx, t = res
+    g_table = jnp.zeros((g.shape[0], t), g.dtype).at[:, jnp.clip(idx, 0, t - 1)].add(
+        jnp.where((idx >= 0) & (idx < t), g, 0.0)
+    )
+    return g_table, None
+
+
+_fetch_cols_pallas.defvjp(_fetch_cols_pallas_fwd, _fetch_cols_pallas_bwd)
+
+
+def use_pallas_gather() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def fetch_cols(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table_t [F, T], idx int [N] -> [F, N] (columns of the table).
+
+    On TPU this is a fused Pallas gather (one-hot built in VMEM, no [T, N]
+    HBM operand; render/gather_kernel.py).  Elsewhere, or for oversized
+    tables / tiny batches, the XLA one-hot matmul."""
+    t = table_t.shape[1]
+    n = idx.shape[0] if idx.ndim else 1
+    if (
+        use_pallas_gather()
+        and t <= _PALLAS_GATHER_MAX_T
+        and idx.ndim == 1
+        and n >= _PALLAS_GATHER_MIN_N
+        and table_t.dtype == jnp.float32
+    ):
+        return _fetch_cols_pallas(table_t, idx)
+    return _fetch_cols_onehot(table_t, idx)
 
 
 def select_columns(rows: jnp.ndarray, col_idx: jnp.ndarray):

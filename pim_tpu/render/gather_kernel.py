@@ -1,0 +1,100 @@
+"""Fused table-gather Pallas kernel: `table_t[:, idx]` without HBM one-hots.
+
+The XLA one-hot fetch (render/fetch.py) materializes a [T, N] f32 one-hot
+operand in HBM for every fetch (~130 MB per call at 512² with T=128); at
+5 fetches/bounce that is GBs of pure overhead traffic per frame.  This
+kernel computes the same `table_t @ one_hot(idx)` contraction per ray
+block with the one-hot built *in VMEM* from an iota comparison, so HBM
+only ever sees the [F, N] result.
+
+  table_t [F, T]  f32, whole table VMEM-resident (T ≤ ~4096)
+  idx     [1, N]  i32, blocked [1, R]
+  out     [F, N]  f32, blocked [F, R]
+
+Inside a block: oh[t, r] = (t == idx[r]) as f32 — a [T, R] VMEM tensor —
+then one MXU dot `table_t @ oh`.  The one-hot operand is exact in any
+dtype (entries are 0/1), so only the table operand needs f32-precise
+passes; `preferred_element_type=f32` with HIGHEST keeps stored values
+bit-exact (required: vertex positions ride through this path).
+
+Used on the TPU backend for every per-hit attribute fetch and the light
+grid cdf/pdf fetch (ref analog: the pointer chases in GetSurface /
+LightSelect, src/rendering/path_tracer.c:1180-1419, 1735-1764).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GATHER_RAY_BLOCK = 1024
+# above this many table columns the whole-table VMEM residency breaks down;
+# callers fall back to fetch.py's gather path
+GATHER_MAX_T = 4096
+
+
+def _gather_kernel(table_ref, idx_ref, out_ref, *, t: int, tchunk: int):
+    idx = idx_ref[0:1, :]  # [1, R] i32
+    r = idx.shape[1]
+
+    def chunk(c, acc):
+        ds = pl.ds(pl.multiple_of(c * tchunk, tchunk), tchunk)
+        sub = table_ref[:, ds]  # [F, TC]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tchunk, r), 0) + c * tchunk
+        oh = (iota == idx).astype(jnp.float32)  # [TC, R]
+        return acc + jnp.dot(
+            sub, oh,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    nchunks = t // tchunk
+    f = out_ref.shape[0]
+    if nchunks == 1:
+        out_ref[:, :] = chunk(0, jnp.zeros((f, r), jnp.float32))
+    else:
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, nchunks, chunk, jnp.zeros((f, r), jnp.float32)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """table_t [F, T] f32, idx [N] i32 -> [F, N] f32 == table_t[:, idx].
+
+    Out-of-range idx yields zeros (callers clamp; padding lanes may carry
+    arbitrary indices).
+    """
+    f, t = table_t.shape
+    n = idx.shape[0]
+    tpad = max(128, -(-t // 128) * 128)
+    if tpad != t:
+        table_t = jnp.pad(table_t, ((0, 0), (0, tpad - t)))
+    fpad = max(8, -(-f // 8) * 8)
+    if fpad != f:
+        table_t = jnp.pad(table_t, ((0, fpad - f), (0, 0)))
+    npad = -(-n // GATHER_RAY_BLOCK) * GATHER_RAY_BLOCK
+    idx2 = idx.astype(jnp.int32).reshape(1, n)
+    if npad != n:
+        idx2 = jnp.pad(idx2, ((0, 0), (0, npad - n)), constant_values=-1)
+
+    tchunk = min(tpad, 512)
+    kernel = functools.partial(_gather_kernel, t=tpad, tchunk=tchunk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // GATHER_RAY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((fpad, tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GATHER_RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((fpad, GATHER_RAY_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((fpad, npad), jnp.float32),
+        interpret=interpret,
+    )(table_t, idx2)
+    return out[:f, :n]

@@ -1,4 +1,4 @@
-"""The wavefront path-tracing integrator (SoA lanes).
+"""The wavefront path-tracing integrator (SoA lanes, hit-carried).
 
 Counterpart of Pt_TraceRay / TraceFn / Pt_Trace (ref: src/rendering/
 path_tracer.c:2306-2585) — redesigned for the TPU execution model:
@@ -13,9 +13,22 @@ path_tracer.c:2306-2585) — redesigned for the TPU execution model:
   atomic light histogram         scatter-add into the carried [G, E] tensor
   float4 SIMD values             SoA V3 over flat [N] arrays (vec3.py)
 
-Radiance math is line-comparable per lane: RR scaling, NEE MIS weights,
-emission gating on bounce==0 / prev-refractive, and the albedo/normal AOV
-weighting all follow the reference (cited inline).
+Round-2 restructure (the perf path, VERDICT items 1/5/7): the loop is
+*hit-carried* — each scan iteration starts from an already-traced hit
+(+ its fetched [48, N] attribute block, carried across iterations), does
+NEE with ONE any-hit shadow ray, then samples the BSDF once; that sample
+is simultaneously the MIS BSDF strategy AND the continuation ray, traced
+with ONE closest-hit call whose emission at the next hit is MIS-weighted.
+Per bounce: 1 closest-hit + 1 any-hit + 1 attribute gather (the reference
+stochastic EstimateDirect needs 2 closest-hits + 4-5 gathers for the same
+estimator family).  The estimator is deterministic full MIS — smooth in
+the material parameters, so the differentiable path shares it (the old
+`mis_both` flag is accepted and ignored).
+
+Radiance math stays line-comparable per lane: RR scaling, NEE MIS power
+heuristic, refractive chains carrying full emission weight, media lanes
+skipping surface work, and the albedo/normal AOV weighting all follow the
+reference (cited inline).
 """
 
 from __future__ import annotations
@@ -29,25 +42,40 @@ from pim_tpu.core import rng
 from pim_tpu.geom.material import MatFlag
 from pim_tpu.math.brdf import BrdfLut
 from pim_tpu.math.grid import grid_index_soa
+from pim_tpu.math.sampling import light_pdf, power_heuristic
 from pim_tpu.math.vec3 import (
     EPS,
     PI,
     RCP_EPS,
     V3,
     avg_lum3,
+    dot,
     saturate,
     where3,
 )
 from pim_tpu.render import fetch as F
 from pim_tpu.render.bsdf import scatter_principled
-from pim_tpu.render.lights import estimate_direct, light_on_hit
+from pim_tpu.render.intersect import Hit
+from pim_tpu.render.lights import (
+    light_on_hit,
+    light_select_pdf_from_rows,
+    make_light_table,
+    nee_light_strategy,
+    sample_light,
+)
 from pim_tpu.render.scene import (
     LightState,
     SceneArrays,
     SceneMeta,
     scene_intersect,
+    scene_occluded,
 )
-from pim_tpu.render.surface import fetch_hit_attribs, get_surface
+from pim_tpu.render.surface import (
+    attribs_from_rows,
+    fetch_hit_attribs,
+    get_emission_from_attribs,
+    get_surface,
+)
 
 
 class TraceResult(NamedTuple):
@@ -58,40 +86,18 @@ class TraceResult(NamedTuple):
     rays_traced: jnp.ndarray  # scalar f32: total rays actually cast
 
 
-def _evaluate_light(meta, arrays, lights, state, p: V3):
+def _evaluate_light(meta, arrays, light_table, state, p: V3):
     """In-media NEE (ref EvaluateLight :1921-1942): select a light from the
-    grid, sample a point on it, verify visibility with one ray.
+    grid, sample a point on it, verify visibility with one any-hit ray.
     Returns (state, lum V3, dir V3, ok)."""
-    from pim_tpu.math.sampling import light_pdf as _light_pdf
-    from pim_tpu.math.sampling import sample_bary_coord
-    from pim_tpu.math.vec3 import dot as dot3
-    from pim_tpu.render import fetch as F
-    from pim_tpu.render.lights import light_select
-    from pim_tpu.render.surface import get_emission_from_attribs
-
     state, u_sel = rng.next_f32(state)
-    emit, l_tri, select_pdf, sel_ok, _, _ = light_select(meta, arrays, lights, p, u_sel)
     state, (bu, bv) = rng.next_f32x2(state)
-    w_, wu, wv = sample_bary_coord(bu, bv)
-    rows = F.fetch_cols(arrays.tri_table, l_tri)
-    a = F.v3_rows(rows, F.PA)
-    bb = F.v3_rows(rows, F.PB)
-    c = F.v3_rows(rows, F.PC)
-    area = rows[F.AREA]
-    target = a * w_ + bb * wu + c * wv
-    delta = target - p
-    dist_sq = jnp.maximum(dot3(delta, delta), 1e-12)
-    dist = jnp.sqrt(dist_sq)
-    rd = delta * (1.0 / dist)
-    hit = scene_intersect(meta, arrays, p, rd, 0.0, dist + 1e-5)
-    hit_ok = (hit.tri >= 0) & (hit.tri == l_tri)
-    pdf = _light_pdf(area, jnp.abs(dot3(rd, hit.ng)), dist_sq)
-    at = fetch_hit_attribs(meta, arrays, hit)
-    emission = get_emission_from_attribs(meta, arrays, rd, at)
-    denom = jnp.maximum(pdf * select_pdf, EPS)
-    lum = emission * (1.0 / denom)
-    ok = sel_ok & hit_ok & (pdf > EPS)
-    return state, lum, rd, ok
+    ls = sample_light(meta, arrays, light_table, p, u_sel, bu, bv)
+    blocked = scene_occluded(meta, arrays, p, ls.dir,
+                             0.0, ls.dist * jnp.float32(1.0 - 1e-3))
+    ok = ls.ok & ~blocked & (ls.lp > EPS)
+    lum = ls.emission * (1.0 / jnp.maximum(ls.lp, EPS))
+    return state, lum, ls.dir, ok
 
 
 def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd: V3) -> V3:
@@ -100,6 +106,69 @@ def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd: V3) -> V3:
 
         return sample_sky_cubemap_soa(arrays.sky, rd)
     return V3.zeros(rd.x.shape)
+
+
+def _finish_segment(meta, arrays, light_table, media_desc, state,
+                    ro, rd, hit, at, atten, lum, alive, live, emis_w,
+                    is_primary: bool):
+    """Shared tail of every traced segment: sky on miss (ref :2334-2339),
+    media scatter along the segment (ScatterRay :2346-2367), backface kill
+    (:2340-2343), light learning (:2370-2373), weighted emission
+    (:2375-2378), sky-surface termination (:2379-2382).
+
+    `emis_w` is the per-lane weight for the emission at this segment's hit
+    (1 for primary rays / refractive chains; the MIS power-heuristic weight
+    from the BSDF sample otherwise)."""
+    n = ro.x.shape[0]
+    missed = hit.tri < 0
+
+    sky = _sky_radiance(meta, arrays, rd)
+    lum = lum + atten * sky * (alive & missed).astype(jnp.float32)
+
+    media_scattered = jnp.zeros((n,), bool)
+    if meta.media_enabled:
+        from pim_tpu.render.media import scatter_ray
+
+        e = meta.emissive_count
+        ray_len = jnp.where(missed, RCP_EPS, hit.t)
+
+        def eval_light_in_media(st, p):
+            return _evaluate_light(meta, arrays, light_table, st, p)
+
+        state, ms = scatter_ray(
+            media_desc, state, ro, rd, ray_len,
+            evaluate_light=eval_light_in_media if e > 0 else None,
+        )
+        media_scattered = alive & ms.scattered
+        msf = media_scattered.astype(jnp.float32)
+        lum = lum + atten * ms.luminance * msf
+        inv_mpdf = 1.0 / jnp.maximum(ms.pdf, EPS)
+        atten = where3(
+            media_scattered,
+            atten * ms.attenuation * inv_mpdf,
+            where3(alive, atten * ms.attenuation, atten),
+        )
+        ro = where3(media_scattered, ms.pos, ro)
+        rd = where3(media_scattered, ms.dir, rd)
+
+    refr_hit = (at.flags & int(MatFlag.REFRACTIVE)) != 0
+    dead_backface = hit.backface & ~refr_hit
+    alive = alive & (media_scattered | (~missed & ~dead_backface))
+    surf_alive = alive & ~media_scattered
+
+    emission = get_emission_from_attribs(meta, arrays, rd, at)
+
+    if meta.emissive_count > 0 and not is_primary:
+        cell = grid_index_soa(meta.grid_spec(arrays.grid_lo), ro)
+        emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
+        live = light_on_hit(meta, live, cell, emit, emission, surf_alive)
+
+    lum = lum + emission * atten * (emis_w * surf_alive.astype(jnp.float32))
+
+    is_sky_surf = (at.flags & int(MatFlag.SKY)) != 0
+    alive = alive & (media_scattered | ~is_sky_surf)
+
+    return state, ro, rd, atten, lum, alive, media_scattered, live
 
 
 def trace_rays(
@@ -118,14 +187,17 @@ def trace_rays(
 
     ro/rd: V3 of [N] (or [N, 3] arrays, converted); state: rng.RngState.
     media_desc: MediaDesc when meta.media_enabled (captured statically).
-    mis_both: deterministic two-ray full-MIS NEE (the differentiable
-    path; see lights.estimate_direct) instead of stochastic selection.
+    mis_both: accepted for API compatibility and ignored — the integrator
+    is always deterministic full-MIS now (the BSDF strategy rides the
+    continuation ray for free).
     use_rr: Russian roulette termination (ref :2319-2331).  The
     differentiable path disables it — the survive/die comparison depends
     on the throughput, so parameter perturbations flip lanes discretely,
     which AD cannot follow (SURVEY.md §7 hard part #3); a fixed bounce
-    budget keeps the estimator smooth.
+    budget keeps the estimator smooth.  The RR uniform is drawn either
+    way so RNG streams stay aligned between the two modes.
     """
+    del mis_both
     if meta.media_enabled and media_desc is None:
         from pim_tpu.render.media import make_media_desc
 
@@ -136,149 +208,144 @@ def trace_rays(
         rd = V3.from_aos(rd)
     n = ro.x.shape[0]
     lut = BrdfLut(texels=arrays.brdf_lut)
-    g, e = lights.live.shape
+    g, e_live = lights.live.shape
+    e = meta.emissive_count
+    light_table = make_light_table(lights, arrays.cell_active_f) if e > 0 else None
+
+    if meta.has_refractive:
+        def thickness_fn(p, l):
+            h = scene_intersect(meta, arrays, p, l, 0.0, RCP_EPS)
+            return h.t
+    else:
+        thickness_fn = None
+
+    # --- primary segment ------------------------------------------------
+    alive0 = jnp.ones((n,), bool)
+    live0 = jnp.zeros((g, e_live), jnp.uint32)
+    rays0 = jnp.float32(n)
+    hit0 = scene_intersect(meta, arrays, ro, rd, 0.0, RCP_EPS)
+    at0 = fetch_hit_attribs(meta, arrays, hit0)
+    state, ro, rd, atten0, lum0, alive0, mskip0, live0 = _finish_segment(
+        meta, arrays, light_table, media_desc, state, ro, rd, hit0, at0,
+        V3.ones((n,)), V3.zeros((n,)), alive0, live0,
+        jnp.float32(1.0), is_primary=True,
+    )
 
     init = dict(
-        ro=ro,
-        rd=rd,
+        ro=ro, rd=rd,
+        t=hit0.t, tri=hit0.tri, u=hit0.u, v=hit0.v,
+        backface=hit0.backface, ngx=hit0.ng.x, ngy=hit0.ng.y, ngz=hit0.ng.z,
+        rows=at0.rows,
         state=state,
-        lum=V3.zeros((n,)),
-        atten=V3.ones((n,)),
-        alive=jnp.ones((n,), bool),
-        prev_refractive=jnp.zeros((n,), bool),
+        lum=lum0,
+        atten=atten0,
+        alive=alive0,
+        media_skip=mskip0,
         aov_albedo=V3.zeros((n,)),
         aov_normal=V3.zeros((n,)),
         aov_weight=jnp.zeros((n,), jnp.float32),
-        live=jnp.zeros((g, e), jnp.uint32),
-        rays=jnp.float32(0.0),
+        live=live0,
+        rays=rays0,
     )
 
     def bounce(carry, b):
+        del b
         ro = carry["ro"]
         rd = carry["rd"]
         state = carry["state"]
         alive = carry["alive"]
         atten = carry["atten"]
         lum = carry["lum"]
-
-        # --- Russian roulette (ref :2319-2331) -----------------------------
-        state, u_rr = rng.next_f32(state)
-        if use_rr:
-            p = saturate(avg_lum3(atten))
-            survive = u_rr < p
-            scale = jnp.where(alive & survive, 1.0 / jnp.maximum(p, EPS), 1.0)
-            atten = atten * scale
-            alive = alive & survive
-
-        # --- extend ray (ref :2333) ----------------------------------------
-        rays = carry["rays"] + jnp.sum(alive.astype(jnp.float32))
-        hit = scene_intersect(meta, arrays, ro, rd, 0.0, RCP_EPS)
-        missed = hit.tri < 0
-
-        # miss -> sky + die (ref :2334-2339)
-        sky = _sky_radiance(meta, arrays, rd)
-        add_sky = (alive & missed).astype(jnp.float32)
-        lum = lum + atten * sky * add_sky
-
-        # --- participating media (ref ScatterRay :2346-2367) ---------------
-        media_scattered = jnp.zeros((n,), bool)
-        if meta.media_enabled:
-            from pim_tpu.render.media import scatter_ray
-
-            ray_len = jnp.where(missed, RCP_EPS, hit.t)
-
-            def eval_light_in_media(st, p):
-                return _evaluate_light(meta, arrays, lights, st, p)
-
-            state, ms = scatter_ray(
-                media_desc, state, ro, rd, ray_len,
-                evaluate_light=eval_light_in_media if e > 0 else None,
-            )
-            media_scattered = alive & ms.scattered
-            msf = media_scattered.astype(jnp.float32)
-            lum = lum + atten * ms.luminance * msf
-            inv_mpdf = 1.0 / jnp.maximum(ms.pdf, EPS)
-            # scattered lanes: redirect; others: apply the transmittance
-            atten = where3(
-                media_scattered,
-                atten * ms.attenuation * inv_mpdf,
-                where3(alive, atten * ms.attenuation, atten),
-            )
-            ro = where3(media_scattered, ms.pos, ro)
-            rd = where3(media_scattered, ms.dir, rd)
-
-        # --- fused surface fetch (one one-hot matmul; ref :2369) -----------
-        at = fetch_hit_attribs(meta, arrays, hit)
-
-        # backface of a non-refractive surface -> die (ref :2340-2343)
-        refr_hit = (at.flags & int(MatFlag.REFRACTIVE)) != 0
-        dead_backface = hit.backface & ~refr_hit
-        alive = alive & (media_scattered | (~missed & ~dead_backface))
-        # lanes redirected by a media scatter skip surface work this bounce
-        # (ref :2358-2362 `continue`)
-        surf_alive = alive & ~media_scattered
-
-        surf = get_surface(meta, arrays, ro, rd, hit, attribs=at)
-
-        # light learning (ref :2370-2373, only bounce > 0)
-        live = carry["live"]
-        if e > 0:
-            cell = grid_index_soa(meta.grid_spec(arrays.grid_lo), ro)
-            emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
-            live = jax.lax.cond(
-                b > 0,
-                lambda lv: light_on_hit(meta, lv, cell, emit, surf.emission, surf_alive),
-                lambda lv: lv,
-                live,
-            )
-
-        # emission only on primary hits or through refractive chains
-        # (ref :2375-2378)
-        emit_vis = (surf_alive & ((b == 0) | carry["prev_refractive"])).astype(jnp.float32)
-        lum = lum + surf.emission * atten * emit_vis
-
-        # sky-flagged surface terminates (ref :2379-2382)
-        is_sky_surf = (surf.flags & int(MatFlag.SKY)) != 0
-        surf_alive = surf_alive & ~is_sky_surf
-        alive = alive & (media_scattered | ~is_sky_surf)
-
-        # --- NEE (ref :2384-2387) ------------------------------------------
-        nee_rays = 2.0 if mis_both else 1.0
-        rays = rays + nee_rays * jnp.sum(surf_alive.astype(jnp.float32))
-        state, li = estimate_direct(
-            meta, arrays, lights, lut, surf, hit.tri, rd, state,
-            both=mis_both,
+        media_skip = carry["media_skip"]
+        hit = Hit(
+            t=carry["t"], tri=carry["tri"], u=carry["u"], v=carry["v"],
+            backface=carry["backface"],
+            ng=V3(carry["ngx"], carry["ngy"], carry["ngz"]),
         )
-        lum = lum + li * atten * surf_alive.astype(jnp.float32)
 
-        # --- continuation scatter (ref :2389-2398) -------------------------
-        if meta.has_refractive:
-            def thickness_fn(p, l):
-                h = scene_intersect(meta, arrays, p, l, 0.0, RCP_EPS)
-                return h.t
-        else:
-            thickness_fn = None
-        state, scat = scatter_principled(lut, surf, rd, state, occluded_fn=thickness_fn)
+        at = attribs_from_rows(meta, arrays, carry["rows"], hit)
+        surf = get_surface(meta, arrays, ro, rd, hit, attribs=at)
+        surf_alive = alive & ~media_skip
+
+        # --- NEE: light strategy, one any-hit shadow ray (ref :1849-1890)
+        rays = carry["rays"]
+        state, u_sel = rng.next_f32(state)
+        state, (bu, bv) = rng.next_f32x2(state)
+        if e > 0:
+            li, ls = nee_light_strategy(
+                meta, arrays, light_table, lut, surf, hit.tri, rd, u_sel, bu, bv
+            )
+            lum = lum + li * atten * surf_alive.astype(jnp.float32)
+            rays = rays + jnp.sum(surf_alive.astype(jnp.float32))
+
+        # --- continuation = BSDF strategy (ref Scatter_Principled
+        # :1670-1707; its MIS weight is applied to the NEXT hit's emission)
+        state, scat = scatter_principled(lut, surf, rd, state,
+                                         occluded_fn=thickness_fn)
         cont = surf_alive & (scat.pdf > EPS)
         inv_pdf = 1.0 / jnp.maximum(scat.pdf, EPS)
         atten = where3(cont, atten * scat.attenuation * inv_pdf, atten)
-        ro = where3(cont, scat.pos, ro)
-        rd = where3(cont, scat.dir, rd)
-        prev_refractive = cont & ((surf.flags & int(MatFlag.REFRACTIVE)) != 0)
-        alive = cont | media_scattered
+        ro2 = where3(cont, scat.pos, ro)
+        rd2 = where3(cont, scat.dir, rd)
+        prev_refr = cont & ((surf.flags & int(MatFlag.REFRACTIVE)) != 0)
+        alive2 = cont | (alive & media_skip)
 
-        # --- AOV accumulation (ref :2400-2406) -----------------------------
+        # --- AOV accumulation (ref :2400-2406)
         w = saturate(1.0 - avg_lum3(atten) * (1.0 / PI)) * cont.astype(jnp.float32)
         aov_albedo = carry["aov_albedo"] + surf.albedo * w
         aov_normal = carry["aov_normal"] + surf.n * w
         aov_weight = carry["aov_weight"] + w
 
+        # --- Russian roulette before the trace (ref :2319-2331)
+        state, u_rr = rng.next_f32(state)
+        if use_rr:
+            p = saturate(avg_lum3(atten))
+            survive = u_rr < p
+            scale = jnp.where(alive2 & survive, 1.0 / jnp.maximum(p, EPS), 1.0)
+            atten = atten * scale
+            alive2 = alive2 & survive
+
+        # --- trace the continuation segment (ref :2333)
+        rays = rays + jnp.sum(alive2.astype(jnp.float32))
+        hit2 = scene_intersect(meta, arrays, ro2, rd2, 0.0, RCP_EPS)
+        at2 = fetch_hit_attribs(meta, arrays, hit2)
+
+        # MIS weight for emission at the new hit (ref EstimateDirect BSDF
+        # strategy :1891-1919): media-scattered lanes carry zero (the ref
+        # `continue`s past surface work, and in-media NEE covers direct
+        # light at the scatter point), refractive chains carry one.
+        if e > 0:
+            h_dist_sq = jnp.maximum(hit2.t * hit2.t, EPS)
+            lp2 = light_pdf(at2.rows[F.AREA], jnp.abs(dot(rd2, hit2.ng)),
+                            h_dist_sq)
+            lp2 = lp2 * light_select_pdf_from_rows(
+                ls.pdf_rows, ls.active, at2.rows[F.EMIT_IDX].astype(jnp.int32), e
+            )
+            bp2 = scat.pdf
+            ok_b = (bp2 > EPS) & (lp2 > EPS)
+            w_mis = power_heuristic(bp2, lp2) * ok_b.astype(jnp.float32)
+        else:
+            w_mis = jnp.ones((n,), jnp.float32)
+        emis_w = jnp.where(prev_refr, 1.0, w_mis)
+        emis_w = jnp.where(media_skip, 0.0, emis_w)
+
+        live = carry["live"]
+        state, ro3, rd3, atten, lum, alive3, mskip, live = _finish_segment(
+            meta, arrays, light_table, media_desc, state, ro2, rd2, hit2, at2,
+            atten, lum, alive2, live, emis_w, is_primary=False,
+        )
+
         return (
             dict(
-                ro=ro, rd=rd, state=state, lum=lum, atten=atten, alive=alive,
-                prev_refractive=prev_refractive, aov_albedo=aov_albedo,
-                aov_normal=aov_normal, aov_weight=aov_weight, live=live,
-                rays=rays,
+                ro=ro3, rd=rd3,
+                t=hit2.t, tri=hit2.tri, u=hit2.u, v=hit2.v,
+                backface=hit2.backface,
+                ngx=hit2.ng.x, ngy=hit2.ng.y, ngz=hit2.ng.z,
+                rows=at2.rows,
+                state=state, lum=lum, atten=atten, alive=alive3,
+                media_skip=mskip,
+                aov_albedo=aov_albedo, aov_normal=aov_normal,
+                aov_weight=aov_weight, live=live, rays=rays,
             ),
             None,
         )

@@ -3,58 +3,72 @@
 Counterpart of LightSelect / SampleLight / LightEvalPdf / EstimateDirect /
 LightOnHit (ref: src/rendering/path_tracer.c:1709-1942).
 
-TPU re-design: the reference's two MIS strategies (sample the light grid vs
-sample the BSDF) each trace one ray, so all lanes trace exactly ONE unified
-NEE ray per bounce; attribute lookups are one-hot MXU fetches; LightOnHit's
-atomic histogram is a scatter-add into the [G, E] live tensor, psum'd
-across devices at frame end.
+TPU re-design (round 2): full-MIS with a shared continuation ray.  The
+reference's EstimateDirect picks one of two strategies stochastically and
+traces a dedicated ray; here the BSDF-strategy sample IS the path's
+continuation ray (its emission is MIS-weighted when the next hit lands on
+a light), so NEE costs exactly one *any-hit shadow ray* per bounce and
+needs no extra attribute fetch.  The light-grid state (cdf/pdf/active) is
+fetched as ONE fused [2E+2, G] table gather, and the sampled light's
+vertices come from a compact [16, E] emissive table instead of the full
+triangle table.  LightOnHit's atomic histogram is a scatter-add into the
+[G, E] live tensor, psum'd across devices at frame end.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
-from pim_tpu.core import rng
 from pim_tpu.geom.material import MatFlag
 from pim_tpu.math.grid import grid_index_soa
 from pim_tpu.math.sampling import light_pdf, power_heuristic, sample_bary_coord
 from pim_tpu.math.vec3 import (
     EPS,
     LOG2_EPS,
-    MILLI,
-    RCP_EPS,
     V3,
     avg_lum3,
     dot,
-    lerp,
-    max3,
-    where3,
 )
 from pim_tpu.render import fetch as F
-from pim_tpu.render.bsdf import eval_principled, scatter_principled
-from pim_tpu.render.scene import LightState, SceneArrays, SceneMeta, scene_intersect
-from pim_tpu.render.surface import Surface, fetch_hit_attribs, get_emission_from_attribs
+from pim_tpu.render.bsdf import eval_principled
+from pim_tpu.render.scene import SceneArrays, SceneMeta, scene_occluded
+from pim_tpu.render.surface import Surface
 
 
-def light_select(meta: SceneMeta, arrays: SceneArrays, lights: LightState,
-                 position: V3, u):
-    """Pick an emissive triangle from the cell's distribution
-    (ref LightSelect :1735-1764).
+def make_light_table(lights, cell_active_f) -> jnp.ndarray:
+    """Fuse the per-cell light-selection state into one [2E+2, G] table:
+    rows [0 : E+1] cdf, [E+1 : 2E+1] pdf, [2E+1] active flag.  Rebuilt once
+    per trace call (the distributions adapt every frame)."""
+    return jnp.concatenate([lights.cdf.T, lights.pdf.T, cell_active_f], axis=0)
 
-    Returns (emit [N], tri [N], select_pdf [N], ok [N], pdf_rows [E, N],
-    active [N])."""
+
+class LightSelection(NamedTuple):
+    emit: jnp.ndarray        # [N] i32 selected emissive index
+    select_pdf: jnp.ndarray  # [N] discrete selection pdf (uniform-u mapped)
+    ok: jnp.ndarray          # [N] bool
+    pdf_rows: jnp.ndarray    # [E, N] the cell's full pdf rows (for MIS)
+    active: jnp.ndarray      # [N] bool cell-active flags
+
+
+def light_select(meta: SceneMeta, light_table: jnp.ndarray, grid_lo,
+                 position: V3, u) -> LightSelection:
+    """Pick an emissive triangle from the position's cell distribution
+    (ref LightSelect :1735-1764) via one fused table gather."""
     e = meta.emissive_count
-    grid = meta.grid_spec(arrays.grid_lo)
+    grid = meta.grid_spec(grid_lo)
     cell = grid_index_soa(grid, position)
-    cdf_rows = F.fetch_cols(lights.cdf.T, cell)          # [E+1, N]
+    rows = F.fetch_cols(light_table, cell)               # [2E+2, N]
+    cdf_rows = rows[0 : e + 1]
+    pdf_rows = rows[e + 1 : 2 * e + 1]
+    active = rows[2 * e + 1] > 0.5
     emit = jnp.sum((cdf_rows <= u[None, :]).astype(jnp.int32), axis=0) - 1
     emit = jnp.clip(emit, 0, e - 1)
-    pdf_rows = F.fetch_cols(lights.pdf.T, cell)          # [E, N]
     pdf = F.select_columns(pdf_rows, emit) / jnp.float32(e)
-    active = F.fetch_cols(arrays.cell_active_f, cell)[0] > 0.5
     ok = active & (pdf > EPS)
-    tri = F.fetch_cols(arrays.emit_to_tri_f, emit)[0].astype(jnp.int32)
-    return emit, tri, pdf, ok, pdf_rows, active
+    return LightSelection(emit=emit, select_pdf=pdf, ok=ok,
+                          pdf_rows=pdf_rows, active=active)
 
 
 def light_select_pdf_from_rows(pdf_rows, active, emit_of_hit, e: int):
@@ -78,124 +92,133 @@ def light_on_hit(meta: SceneMeta, live, cell, emit, emission: V3, active):
     return live.at[cell, emit].add(amt)
 
 
-def estimate_direct(
+# Compact emissive-table layout (SceneArrays.emissive_table, [24, E]);
+# built host-side in scene.build_emissive_table:
+E_PA = slice(0, 3)
+E_PB = slice(3, 6)
+E_PC = slice(6, 9)
+E_AREA = 9
+E_TRI = 10
+E_ALBEDO = slice(11, 14)  # flat albedo rgb (valid when E_ALBEDO_TEX < 0)
+E_UVA = slice(14, 16)
+E_UVB = slice(16, 18)
+E_UVC = slice(18, 20)
+E_ALBEDO_TEX = 20
+E_ROME_TEX = 21
+E_FLAGS = 22
+E_EMIT_A = 23             # flat emission alpha (valid when E_ROME_TEX < 0)
+E_ROWS = 24
+
+
+class LightSample(NamedTuple):
+    """A sampled point on a selected emissive triangle."""
+
+    dir: V3                  # unit direction from the shading point
+    dist: jnp.ndarray        # [N]
+    emission: V3             # radiance toward the shading point
+    lp: jnp.ndarray          # [N] full light-strategy pdf (area x select)
+    tri: jnp.ndarray         # [N] i32 source triangle id of the light
+    ok: jnp.ndarray          # [N] bool
+    pdf_rows: jnp.ndarray    # [E, N]
+    active: jnp.ndarray      # [N] bool
+
+
+def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
+                 u_sel, bu, bv) -> LightSample:
+    """Light selection + barycentric point sample + emission evaluation
+    (ref SampleLight :1785-1822) from the compact emissive table — one
+    [2E+2, G] grid gather plus one [24, E] emissive gather."""
+    sel = light_select(meta, light_table, arrays.grid_lo, p, u_sel)
+    rows = F.fetch_cols(arrays.emissive_table, sel.emit)  # [24, N]
+    a = F.v3_rows(rows, E_PA)
+    b = F.v3_rows(rows, E_PB)
+    c = F.v3_rows(rows, E_PC)
+    area = rows[E_AREA]
+    tri = rows[E_TRI].astype(jnp.int32)
+    w_, wu, wv = sample_bary_coord(bu, bv)
+    target = a * w_ + b * wu + c * wv
+    delta = target - p
+    dist_sq = jnp.maximum(dot(delta, delta), 1e-12)
+    dist = jnp.sqrt(dist_sq)
+    rd = delta * (1.0 / dist)
+
+    # emission at the sampled point (texture-faithful: the BSDF-strategy
+    # side of MIS sees the textured value, so NEE must too);
+    # UnpackEmission: albedo * e^2 * kEmissionScale (ref color.h:588-591)
+    from pim_tpu.math.color import K_EMISSION_SCALE
+
+    albedo = V3(rows[E_ALBEDO.start], rows[E_ALBEDO.start + 1],
+                rows[E_ALBEDO.start + 2])
+    emit_a = rows[E_EMIT_A]
+    if meta.textured:
+        from pim_tpu.math.vec3 import V2, where3
+        from pim_tpu.render.surface import sample_atlas_bilinear
+
+        a_tex = rows[E_ALBEDO_TEX].astype(jnp.int32)
+        r_tex = rows[E_ROME_TEX].astype(jnp.int32)
+        uv = V2(
+            rows[E_UVA.start] * w_ + rows[E_UVB.start] * wu + rows[E_UVC.start] * wv,
+            rows[E_UVA.start + 1] * w_ + rows[E_UVB.start + 1] * wu
+            + rows[E_UVC.start + 1] * wv,
+        )
+        alb = sample_atlas_bilinear(arrays.atlas_planes, arrays.tex_rec_t,
+                                    a_tex, uv, (0, 0, 0, 0))
+        rom = sample_atlas_bilinear(arrays.atlas_planes, arrays.tex_rec_t,
+                                    r_tex, uv, (0, 0, 0, 0))
+        albedo = where3(a_tex >= 0, V3(alb[0], alb[1], alb[2]), albedo)
+        emit_a = jnp.where(r_tex >= 0, rom[3], emit_a)
+    emission = albedo * (emit_a * emit_a * K_EMISSION_SCALE)
+    if meta.has_sky:
+        from pim_tpu.math.vec3 import where3
+        from pim_tpu.render.sky import sample_sky_cubemap_soa
+
+        is_sky = (rows[E_FLAGS].astype(jnp.int32) & int(MatFlag.SKY)) != 0
+        emission = where3(is_sky, sample_sky_cubemap_soa(arrays.sky, rd), emission)
+
+    from pim_tpu.math.vec3 import cross, normalize
+
+    ng = normalize(cross(b - a, c - a))
+    cos_theta = jnp.abs(dot(rd, ng))
+    lp = light_pdf(area, cos_theta, dist_sq) * sel.select_pdf
+    return LightSample(
+        dir=rd, dist=dist, emission=emission, lp=lp, tri=tri,
+        ok=sel.ok, pdf_rows=sel.pdf_rows, active=sel.active,
+    )
+
+
+def nee_light_strategy(
     meta: SceneMeta,
     arrays: SceneArrays,
-    lights: LightState,
+    light_table,
     lut,
     surf: Surface,
     src_tri,
     i_dir: V3,
-    state,
-    both: bool = False,
+    u_sel, bu, bv,
 ):
-    """One-sample MIS direct lighting (ref EstimateDirect :1849-1919).
+    """Light-strategy half of the MIS estimator (ref EstimateDirect
+    :1849-1890): sample a light point, trace ONE any-hit shadow ray, weight
+    by the power heuristic against the BSDF pdf at that direction.
 
-    `both=False` (default, the perf path): the reference's stochastic
-    strategy selection — one unified ray, strategy picked with probability
-    lerp(0.05, 0.95, roughness).  `both=True` (the differentiable path):
-    deterministic full MIS — BOTH strategies trace a ray and both
-    power-heuristic-weighted contributions are summed.  This removes the
-    roughness-dependent discrete selection (whose boundary term AD cannot
-    see), making the estimator smooth in the material parameters, and
-    lowers variance at the cost of one extra ray per bounce.
-    Returns (state, radiance V3)."""
-    if meta.emissive_count == 0:
-        return state, V3.zeros(src_tri.shape)
+    The BSDF-strategy half lives in the integrator: the continuation ray's
+    emission at the next hit is MIS-weighted there (ref :1891-1919).
 
-    p_rough = lerp(jnp.float32(0.05), jnp.float32(0.95), surf.roughness)
-    p_smooth = 1.0 - p_rough
-    state, u_strat = rng.next_f32(state)
-    use_light = u_strat < p_rough
-    if both:
-        # both strategies always run: no selection probabilities
-        p_rough = jnp.float32(1.0)
-        p_smooth = jnp.float32(1.0)
-        true_ = jnp.ones(src_tri.shape, bool)
-        use_light = true_
+    Returns (radiance V3, LightSample) — radiance is zero where invalid.
+    """
+    ls = sample_light(meta, arrays, light_table, surf.p, u_sel, bu, bv)
 
-    # --- light-strategy sample ---------------------------------------------
-    state, u_sel = rng.next_f32(state)
-    emit, l_tri, select_pdf, sel_ok, pdf_rows, cell_act = light_select(
-        meta, arrays, lights, surf.p, u_sel
-    )
-    state, (bu, bv) = rng.next_f32x2(state)
-    w_, wu, wv = sample_bary_coord(bu, bv)
-    l_rows = F.fetch_cols(arrays.tri_table, l_tri)
-    a = F.v3_rows(l_rows, F.PA)
-    b = F.v3_rows(l_rows, F.PB)
-    c = F.v3_rows(l_rows, F.PC)
-    area = l_rows[F.AREA]
-    target = a * w_ + b * wu + c * wv
-    delta = target - surf.p
-    dist_sq = jnp.maximum(dot(delta, delta), 1e-12)
-    dist = jnp.sqrt(dist_sq)
-    rd_light = delta * (1.0 / dist)
+    # shadow ray: the target sits ON the light tri at t == dist, so clip
+    # t_far a relative epsilon short of it (the ref instead closest-hits and
+    # compares tri ids, path_tracer.c:1868-1875)
+    t_far = ls.dist * jnp.float32(1.0 - 1e-3)
+    blocked = scene_occluded(meta, arrays, surf.p, ls.dir, 0.0, t_far)
 
-    # --- bsdf-strategy sample ----------------------------------------------
-    state, scat = scatter_principled(lut, surf, i_dir, state, occluded_fn=None)
-
-    # --- trace: one unified ray (stochastic) or two rays (full MIS) ---------
-    if both:
-        hit_l = scene_intersect(meta, arrays, surf.p, rd_light, 0.0,
-                                dist + 0.01 * MILLI)
-        at_l = fetch_hit_attribs(meta, arrays, hit_l)
-        emission_l = get_emission_from_attribs(meta, arrays, rd_light, at_l)
-        hit_b = scene_intersect(meta, arrays, surf.p, scat.dir, 0.0, RCP_EPS)
-        at_b = fetch_hit_attribs(meta, arrays, hit_b)
-        emission_b = get_emission_from_attribs(meta, arrays, scat.dir, at_b)
-        hit_l_tri, hit_l_ng = hit_l.tri, hit_l.ng
-        hit_b_tri, hit_b_ng, hit_b_t = hit_b.tri, hit_b.ng, hit_b.t
-        hit_area = at_b.rows[F.AREA]
-        hit_emit = at_b.rows[F.EMIT_IDX].astype(jnp.int32)
-    else:
-        rd = where3(use_light, rd_light, scat.dir)
-        t_far = jnp.where(use_light, dist + 0.01 * MILLI, RCP_EPS)
-        hit = scene_intersect(meta, arrays, surf.p, rd, 0.0, t_far)
-        at = fetch_hit_attribs(meta, arrays, hit)
-        emission = get_emission_from_attribs(meta, arrays, rd, at)
-        hit_area = at.rows[F.AREA]
-        hit_emit = at.rows[F.EMIT_IDX].astype(jnp.int32)
-        hit_l_tri, hit_l_ng = hit.tri, hit.ng
-        hit_b_tri, hit_b_ng, hit_b_t = hit.tri, hit.ng, hit.t
-        emission_l = emission
-        emission_b = emission
-
-    # --- light-strategy MIS -------------------------------------------------
-    hit_light = (hit_l_tri >= 0) & (hit_l_tri == l_tri)
-    cos_theta = jnp.abs(dot(rd_light, hit_l_ng))
-    sample_pdf = light_pdf(area, cos_theta, dist_sq)
-    lp = sample_pdf * select_pdf * p_rough
-    brdf_a, brdf_p = eval_principled(lut, surf, i_dir, rd_light)
-    bp = brdf_p * p_smooth
-    li_light = emission_l * brdf_a
-    w_light = power_heuristic(lp, bp) / jnp.maximum(lp, EPS)
-    ok_light = (
-        use_light & sel_ok & hit_light & (src_tri != l_tri)
-        & (lp > EPS) & (bp > EPS) & (max3(emission_l) > EPS)
-    )
-    contrib_light = li_light * (w_light * ok_light.astype(jnp.float32))
-
-    # --- bsdf-strategy MIS --------------------------------------------------
-    bp2 = scat.pdf * p_smooth
-    hit_any = hit_b_tri >= 0
-    h_dist_sq = jnp.maximum(hit_b_t * hit_b_t, EPS)
-    lp2 = light_pdf(hit_area, jnp.abs(dot(scat.dir, hit_b_ng)), h_dist_sq) * p_rough
-    lp2 = lp2 * light_select_pdf_from_rows(
-        pdf_rows, cell_act, hit_emit, meta.emissive_count
-    )
-    li_brdf = emission_b * scat.attenuation
-    w_brdf = power_heuristic(bp2, lp2) / jnp.maximum(bp2, EPS)
-    ok_brdf = (
-        (both | ~use_light) & hit_any & (bp2 > EPS) & (lp2 > EPS)
-        & (max3(emission_b) > EPS)
-    )
-    contrib_brdf = li_brdf * (w_brdf * ok_brdf.astype(jnp.float32))
-
+    brdf_a, bp = eval_principled(lut, surf, i_dir, ls.dir)
+    w = power_heuristic(ls.lp, bp) / jnp.maximum(ls.lp, EPS)
     refractive = (surf.flags & int(MatFlag.REFRACTIVE)) != 0
-    if both:
-        combined = contrib_light + contrib_brdf
-    else:
-        combined = where3(use_light, contrib_light, contrib_brdf)
-    result = where3(refractive, V3.zeros(src_tri.shape), combined)
-    return state, result
+    ok = (
+        ls.ok & ~blocked & (src_tri != ls.tri)
+        & (ls.lp > EPS) & (bp > EPS) & ~refractive
+    )
+    radiance = ls.emission * brdf_a * (w * ok.astype(jnp.float32))
+    return radiance, ls

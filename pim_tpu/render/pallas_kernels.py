@@ -97,18 +97,28 @@ def _isect_kernel(tri_ref, rays_ref, t_out, idx_out, *,
         return best_t, best_i
 
     init = (jnp.full((1, r), _BIG, jnp.float32), jnp.full((1, r), -1, jnp.int32))
-    if any_hit:
-        def cond(carry):
-            c, (bt, bi) = carry
-            return (c < tri_chunks) & jnp.any(bi < 0)
 
-        def body(carry):
-            c, acc = carry
-            return c + 1, chunk_body(c, acc)
+    # whole-block dead-lane skip: callers mark dead lanes with t_far <= 0,
+    # so a block whose every lane is dead (late-bounce RR, sky regions)
+    # skips all triangle work (the wavefront-compaction dividend without
+    # any lane permutation)
+    block_active = jnp.max(tfar) > 0.0
 
-        _, (best_t, best_i) = jax.lax.while_loop(cond, body, (0, init))
-    else:
-        best_t, best_i = jax.lax.fori_loop(0, tri_chunks, chunk_body, init)
+    def run_block():
+        if any_hit:
+            def cond(carry):
+                c, (bt, bi) = carry
+                return (c < tri_chunks) & jnp.any(bi < 0)
+
+            def body(carry):
+                c, acc = carry
+                return c + 1, chunk_body(c, acc)
+
+            _, out = jax.lax.while_loop(cond, body, (0, init))
+            return out
+        return jax.lax.fori_loop(0, tri_chunks, chunk_body, init)
+
+    best_t, best_i = jax.lax.cond(block_active, run_block, lambda: init)
 
     t_out[:, :] = jnp.where(best_i >= 0, best_t, -1.0)
     idx_out[:, :] = best_i
@@ -157,7 +167,12 @@ def pack_tris(positions) -> jnp.ndarray:
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
     packed = _np.concatenate([a, e1, e2, _np.zeros_like(a)], axis=-1)  # [T, 12]
-    tpad = max(TRI_BLOCK, int(_np.ceil(packed.shape[0] / TRI_BLOCK)) * TRI_BLOCK)
+    # pad only to the 8-sublane tile, or to a TRI_BLOCK multiple when chunking
+    # kicks in — padding 108 tris to 256 would double the kernel's VPU work
+    if packed.shape[0] <= TRI_BLOCK:
+        tpad = max(8, int(_np.ceil(packed.shape[0] / 8)) * 8)
+    else:
+        tpad = int(_np.ceil(packed.shape[0] / TRI_BLOCK)) * TRI_BLOCK
     pad = tpad - packed.shape[0]
     if pad:
         packed = _np.pad(packed, ((0, pad), (0, 0)))

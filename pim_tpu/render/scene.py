@@ -60,6 +60,7 @@ class SceneArrays(NamedTuple):
     # emissives
     tri_to_emit: jnp.ndarray   # [T] i32
     emit_to_tri_f: jnp.ndarray  # [1, E] f32 (for one-hot fetch)
+    emissive_table: jnp.ndarray  # [24, E] compact NEE table (lights.E_* rows)
     # light grid
     grid_lo: jnp.ndarray       # [3]
     cell_active: jnp.ndarray   # [G] bool
@@ -206,6 +207,58 @@ def _emission_pdf_host(flat: FlatScene, pool_atlas, pool_rec, attempts: int = 10
             py = np.floor(uv[:, 1] * h).astype(np.int64) % h
             pdfs[ti] = (tex[py, px] > 0.0).mean()
     return pdfs
+
+
+def build_emissive_table(flat: FlatScene, atlas, tex_rec,
+                         emissive_tris: np.ndarray) -> np.ndarray:
+    """Compact [24, E] NEE table (layout: lights.E_* rows) — vertices, area,
+    tri id, flat albedo + emission alpha (textured lights carry atlas ids
+    instead and are sampled per-point), flags.  Host-side, once per build."""
+    e = len(emissive_tris)
+    t = np.zeros((max(e, 1), 24), np.float32)
+    if e == 0:
+        return jnp.asarray(t.T)
+    tri_count = flat.mat_ids.shape[0]
+    pos = flat.positions.reshape(tri_count, 3, 3)
+    uvs = flat.uvs.reshape(tri_count, 3, 2)
+    p = pos[emissive_tris]
+    t[:, 0:3] = p[:, 0]
+    t[:, 3:6] = p[:, 1]
+    t[:, 6:9] = p[:, 2]
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    t[:, 9] = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    t[:, 10] = emissive_tris.astype(np.float32)
+    uv = uvs[emissive_tris]
+    t[:, 14:16] = uv[:, 0]
+    t[:, 16:18] = uv[:, 1]
+    t[:, 18:20] = uv[:, 2]
+    t[:, 20] = -1.0
+    t[:, 21] = -1.0
+    for k, ti in enumerate(emissive_tris):
+        mat = flat.materials[flat.mat_ids[ti]]
+        t[k, 22] = float(int(mat.flags))
+
+        def texel(tex_id, default):
+            if tex_id < 0:
+                return np.asarray(default, np.float32)
+            x0, y0, w, h = tex_rec[tex_id]
+            if w == 1 and h == 1:
+                return atlas[y0, x0]
+            return None  # genuinely textured
+
+        alb = texel(mat.albedo_tex, [1, 1, 1, 1])
+        rom = texel(mat.rome_tex, [0.5, 1, 0, 0])
+        # flat albedo rgb + flat emission alpha; -1 tex ids mean "use flat"
+        if alb is not None:
+            t[k, 11:14] = alb[:3]
+        else:
+            t[k, 20] = float(mat.albedo_tex)
+        if rom is not None:
+            t[k, 23] = rom[3]
+        else:
+            t[k, 21] = float(mat.rome_tex)
+    return jnp.asarray(t.T)
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +509,7 @@ def build_scene(
         atlas_planes=jnp.asarray(planes),
         tex_rec_t=jnp.asarray(rec_t),
         tri_to_emit=jnp.asarray(tri_to_emit[:max(tri_count, 1)]),
+        emissive_table=build_emissive_table(flat, atlas, tex_rec, emissive_tris),
         emit_to_tri_f=jnp.asarray(
             emissive_tris.astype(np.float32).reshape(1, -1)
             if len(emissive_tris)

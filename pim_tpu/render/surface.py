@@ -116,12 +116,19 @@ class HitAttribs(NamedTuple):
 
 
 def fetch_hit_attribs(meta, arrays, hit) -> HitAttribs:
-    """Fused fetch + interpolation for a Hit batch.
+    """Fused fetch + interpolation for a Hit batch."""
+    tri = jnp.maximum(hit.tri, 0)
+    rows = F.fetch_cols(arrays.tri_table, tri)  # [48, N]
+    return attribs_from_rows(meta, arrays, rows, hit)
+
+
+def attribs_from_rows(meta, arrays, rows, hit) -> HitAttribs:
+    """Interpolation/shading-state build from an already-fetched [48, N]
+    attribute block (the integrator carries `rows` across scan iterations
+    to avoid re-gathering the same hit).
 
     Macro normal = barycentric vertex-normal blend, flipped to the side of
     the geometric normal (ref GetNormal :1192-1204)."""
-    tri = jnp.maximum(hit.tri, 0)
-    rows = F.fetch_cols(arrays.tri_table, tri)  # [48, N]
     w = 1.0 - hit.u - hit.v
     u = hit.u
     v = hit.v

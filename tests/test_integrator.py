@@ -59,19 +59,25 @@ def test_backends_agree():
 
 
 def test_progressive_convergence(cornell):
-    """stddev-to-mean of the luminance must shrink as samples accumulate."""
+    """Monte-Carlo contract: averaging k independent samples divides the
+    per-pixel variance by ~k.  Collect 16 one-sample images, compare the
+    pixel variance across 4 singles vs across 4 means-of-4 (expected 4x
+    reduction; assert >2x to leave statistical slack).
+    Measured on radiance clipped at 5 — raw path-traced radiance is heavy-
+    tailed (fireflies up to kEmissionScale=100) and a 4-sample variance
+    estimate of it is dominated by single outliers (measured: clipped ratio
+    4.7 ≈ ideal 4, raw ratio ~1)."""
     _, meta, arrays, lights = cornell
-    acc = None
-    means = []
-    for s in range(8):
-        res = _trace(meta, arrays, lights, n=24, sample=s)
-        c = np.asarray(res.color)
-        acc = c if acc is None else acc + (c - acc) / (s + 1)
-        means.append(acc.mean())
-    # accumulated mean stabilizes: late-half variance < early-half variance
-    early = np.var(means[:4])
-    late = np.var(means[4:])
-    assert late < early
+    imgs = np.clip(
+        [np.asarray(_trace(meta, arrays, lights, n=24, sample=s).color)
+         for s in range(16)],
+        0.0, 5.0,
+    )
+    singles = imgs[:4]
+    means4 = np.stack([np.mean(imgs[4 * g : 4 * g + 4], axis=0) for g in range(4)])
+    var_single = np.var(singles, axis=0).mean()
+    var_mean4 = np.var(means4, axis=0).mean()
+    assert var_mean4 < var_single / 2.0
 
 
 def test_light_histogram_learning(cornell):

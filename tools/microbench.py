@@ -5,7 +5,7 @@ from pim_tpu.render.scene import build_scene, scene_intersect
 from pim_tpu.core import rng
 from pim_tpu.math.vec3 import V3, RCP_EPS
 from pim_tpu.render.surface import fetch_hit_attribs, get_surface
-from pim_tpu.render.lights import estimate_direct, light_on_hit
+from pim_tpu.render.lights import light_on_hit, make_light_table, nee_light_strategy
 from pim_tpu.render.bsdf import scatter_principled
 from pim_tpu.math.brdf import BrdfLut
 from pim_tpu.math.grid import grid_index_soa
@@ -50,7 +50,10 @@ def main():
     emit = jnp.zeros((N,),jnp.int32)
     bench("light_on_hit", lambda: light_on_hit(meta, jnp.zeros((g,e),jnp.uint32), cell, emit, surf.emission, jnp.ones((N,),bool)))
     bench("rng4", lambda: rng.next_f32x4(state)[1])
-    bench("estimate_direct", lambda: estimate_direct(meta, arrays, lights, lut, surf, hit.tri, rd, state)[1])
+    lt = make_light_table(lights, arrays.cell_active_f)
+    u3 = rng.next_f32x3(state)[1]
+    bench("nee_light_strategy", lambda: nee_light_strategy(
+        meta, arrays, lt, lut, surf, hit.tri, rd, u3[0], u3[1], u3[2])[0])
 
 
 

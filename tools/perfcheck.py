@@ -1,6 +1,7 @@
-"""Capture a jax.profiler trace of trace_rays at 512² and print top ops.
+"""Quick wall-clock check of one jitted trace step at a given size (TPU).
 
-Usage: python tools/profile_step.py [n] [backend] [trace_dir]
+Usage: python tools/perfcheck.py [n] [iters] [backend]
+Env: PIM_NO_PALLAS_GATHER=1 disables the fused gather kernel.
 """
 import os
 import sys
@@ -12,9 +13,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
-trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/jaxtrace"
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+backend = sys.argv[3] if len(sys.argv) > 3 else "brute"
+
+if os.environ.get("PIM_NO_PALLAS_GATHER"):
+    from pim_tpu.render import fetch
+    fetch.use_pallas_gather = lambda: False
 
 from pim_tpu.core import rng
 from pim_tpu.geom.cornell import build_cornell_box
@@ -34,16 +39,19 @@ def step(sample):
     state = rng.make_state(jnp.arange(n * n, dtype=jnp.uint32), sample)
     state, ro, rd = generate_primary_rays(ca, n, n, state)
     res = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces=10)
-    return res.color
+    return res.color, res.rays_traced
 
-jax.block_until_ready(step(jnp.uint32(0)))
+t0 = time.time()
+c, r = step(jnp.uint32(0))
+jax.block_until_ready(c)
+print(f"compile+first: {time.time()-t0:.1f}s")
 
-with jax.profiler.trace(trace_dir):
-    for i in range(3):
-        c = step(jnp.uint32(1 + i))
-    jax.block_until_ready(c)
-
-print("trace written to", trace_dir)
-import importlib
-at = importlib.import_module("tools.analyze_trace") if False else None
-os.system(f"python {os.path.dirname(os.path.abspath(__file__))}/analyze_trace.py {trace_dir}")
+t0 = time.time()
+tot = 0.0
+for i in range(iters):
+    c, r = step(jnp.uint32(1 + i))
+    tot += float(r)
+jax.block_until_ready(c)
+dt = time.time() - t0
+print(f"{n}x{n} {backend}: {dt/iters*1e3:.1f} ms/sample, "
+      f"{tot/dt/1e6:.1f} Mrays/s")
