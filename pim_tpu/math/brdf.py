@@ -182,41 +182,30 @@ def bake_brdf_lut(size: int = 16, num_samples: int = 4096) -> BrdfLut:
 def brdf_lut_sample(lut: BrdfLut, nov, alpha):
     """Bilinear clamped fetch at (NoV, alpha) (ref lighting.h:52-55).
 
-    Returns (dvf, dv) as two flat [N] arrays.  The 4-corner fetch is ONE
-    MXU matmul against the flattened LUT with the bilinear weights folded
-    into a sparse one-hot operand — measured ~10x faster than 4 gathers at
-    262k lanes on TPU v5e.
+    Returns (dvf, dv) as two flat [N] arrays.  Separable formulation: the
+    bilinear weight of texel i along an axis is the tent max(0, 1-|i-x|),
+    so the fetch is a [2S, S] @ [S, N] MXU contraction over the NoV axis
+    followed by a [S, 2, N] tent-weighted VPU reduction over alpha.  The
+    earlier single-matmul version built a [S², N] weighted one-hot
+    (~270 MB at 262k lanes, measured 290 us/bounce); this moves ~4x less.
     """
     import jax
 
     size = lut.texels.shape[0]
-    r = size * size
-    lut_t = lut.texels.reshape(r, 2).T  # [2, R] (loop-invariant, hoisted)
     x = jnp.clip(nov, 0.0, 1.0) * (size - 1)
     y = jnp.clip(alpha, 0.0, 1.0) * (size - 1)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
-    fx = x - x0.astype(jnp.float32)
-    fy = y - y0.astype(jnp.float32)
-
-    w00 = (1.0 - fx) * (1.0 - fy)
-    w10 = fx * (1.0 - fy)
-    w01 = (1.0 - fx) * fy
-    w11 = fx * fy
-
-    oh = (
-        jax.nn.one_hot(x0 * size + y0, r, dtype=jnp.float32, axis=0) * w00
-        + jax.nn.one_hot(x1 * size + y0, r, dtype=jnp.float32, axis=0) * w10
-        + jax.nn.one_hot(x0 * size + y1, r, dtype=jnp.float32, axis=0) * w01
-        + jax.nn.one_hot(x1 * size + y1, r, dtype=jnp.float32, axis=0) * w11
-    )  # [R, N]
+    ix = jax.lax.broadcasted_iota(jnp.float32, (size, x.shape[0]), 0)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix - x[None, :]))  # [S, N] tents
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ix - y[None, :]))
+    # texels [nov=x, alpha=y, 2] -> [(y, c), x] then contract over x.
     # HIGHEST: the MXU's default bf16 truncation would quantize both the
-    # bilinear weights and the LUT values (visible as a staircase in the
+    # tent weights and the LUT values (visible as a staircase in the
     # energy-compensation term and a piecewise-flat roughness gradient)
-    out = jnp.dot(lut_t, oh, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)  # [2, N]
+    l_t = lut.texels.reshape(size, size * 2).T  # [(y c), x] loop-invariant
+    p = jnp.dot(l_t, wx, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [2S, N]
+    p = p.reshape(size, 2, x.shape[0])
+    out = jnp.sum(p * wy[:, None, :], axis=0)  # [2, N]
     return out[0], out[1]
 
 

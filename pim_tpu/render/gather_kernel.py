@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GATHER_RAY_BLOCK = 1024
+GATHER_RAY_BLOCK = 2048
 # above this many table columns the whole-table VMEM residency breaks down;
 # callers fall back to fetch.py's gather path
 GATHER_MAX_T = 4096
@@ -46,6 +46,8 @@ def _gather_kernel(table_ref, idx_ref, out_ref, *, t: int, tchunk: int):
         sub = table_ref[:, ds]  # [F, TC]
         iota = jax.lax.broadcasted_iota(jnp.int32, (tchunk, r), 0) + c * tchunk
         oh = (iota == idx).astype(jnp.float32)  # [TC, R]
+        # HIGHEST keeps fetched values bit-exact (vertex positions ride
+        # this path; Mosaic rejects the 2-pass HIGH that would also do)
         return acc + jnp.dot(
             sub, oh,
             preferred_element_type=jnp.float32,

@@ -78,6 +78,88 @@ from pim_tpu.render.surface import (
 )
 
 
+def _compact_perm(alive: jnp.ndarray) -> jnp.ndarray:
+    """Alive-first stable-partition permutation (wavefront compaction,
+    SURVEY.md §7 hard part #2).
+
+    The reference compacts by overwriting dead SIMD lanes from a work
+    queue; here a cumsum-based partition reorders lanes so dead ones pack
+    into trailing RAY_BLOCK-sized blocks, which the Pallas kernels then
+    skip wholesale (t_far <= 0 marks them).  Returns perm such that
+    x[perm] is alive-first; costs 2 cumsums + 1 scatter + the carry
+    gathers (~0.25 ms/bounce at 512²) against the dead-lane fraction of
+    every traced segment."""
+    n = alive.shape[0]
+    a = alive.astype(jnp.int32)
+    na = jnp.cumsum(a)
+    pos = jnp.where(alive, na - 1, na[-1] + jnp.cumsum(1 - a) - 1)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n, dtype=jnp.int32))
+
+
+def _permute_carry(carry: dict, perm: jnp.ndarray) -> dict:
+    """Apply a lane permutation to every per-lane entry of the scan carry
+    (live histogram and ray counter are lane-free and pass through).
+
+    All f32 lanes are stacked into ONE [F, N] block and gathered with a
+    single take (ints bitcast in to ride along), then split back out.
+    Per-row takes must not be used here: inside the bounce scan XLA fuses
+    each gather with its consumers into a serialized loop-fusion
+    (measured 5.8 ms per fused row at 512² vs ~0.3 ms for the one stacked
+    gather); the optimization_barrier pins the gather as a standalone op.
+    """
+    skip = {"live", "rays"}
+    leaves = []   # flat list of [N] arrays
+    treedef = {}
+    for k, v in carry.items():
+        if k in skip:
+            continue
+        if isinstance(v, (V3, rng.RngState)):
+            parts = list(v)
+            treedef[k] = (type(v), parts[0].dtype, 1, len(parts))
+        elif v.ndim == 2:
+            parts = list(v)
+            treedef[k] = (None, v.dtype, 2, len(parts))
+        else:
+            parts = [v]
+            treedef[k] = (None, v.dtype, 1, 1)
+        leaves.extend(parts)
+
+    def to_f32(a):
+        if a.dtype == jnp.float32:
+            return a
+        if a.dtype == jnp.bool_:
+            return a.astype(jnp.float32)
+        return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+    stacked = jnp.stack([to_f32(a) for a in leaves], axis=0)
+    stacked = jax.lax.optimization_barrier(stacked)
+    gathered = jnp.take(stacked, perm, axis=1)
+    gathered = jax.lax.optimization_barrier(gathered)
+
+    out = {k: carry[k] for k in skip if k in carry}
+    def from_f32(a, dt):
+        if dt == jnp.float32:
+            return a
+        if dt == jnp.bool_:
+            return a > 0.5
+        return jax.lax.bitcast_convert_type(a, dt)
+
+    i = 0
+    for k, v in carry.items():
+        if k in skip:
+            continue
+        cls, dtype, ndim, cnt = treedef[k]
+        rows = gathered[i : i + cnt]
+        i += cnt
+        if cls is not None:  # V3 / RngState
+            out[k] = cls(*(from_f32(rows[j], dtype) for j in range(cnt)))
+        elif ndim == 2:
+            out[k] = from_f32(rows, dtype)
+        else:
+            out[k] = from_f32(rows[0], dtype)
+    return out
+
+
 class TraceResult(NamedTuple):
     color: jnp.ndarray    # [N, 3] radiance (AoS at the API edge)
     albedo: jnp.ndarray   # [N, 3] AOV
@@ -182,8 +264,22 @@ def trace_rays(
     media_desc=None,
     mis_both: bool = False,
     use_rr: bool = True,
+    compact: bool = False,
 ) -> TraceResult:
     """Trace a batch of rays to completion.
+
+    compact: alive-first lane compaction at each bounce (a pure lane
+    permutation — per-pixel output matches either way since each lane's
+    RNG stream travels with it; dead lanes pack into trailing blocks the
+    Pallas kernels skip).  Default OFF — measured on TPU v5e at 512²:
+    the compacted intersect kernels drop 776→170 us/call, but XLA's
+    random-index gather moves the ~81-row carry at only ~9 GB/s
+    (element-granule), costing ~19 ms/bounce stacked or ~5.8 ms/row
+    fused — far more than the ~1.2 ms/bounce it saves (SURVEY.md §7 hard
+    part #2: measured, not adopted; the win needs a windowed one-hot
+    Pallas permute kernel, see git history).  Dead lanes still carry
+    t_far = 0 so naturally-coherent dead regions (sky misses) skip
+    whole blocks for free.
 
     ro/rd: V3 of [N] (or [N, 3] arrays, converted); state: rng.RngState.
     media_desc: MediaDesc when meta.media_enabled (captured statically).
@@ -244,12 +340,15 @@ def trace_rays(
         aov_albedo=V3.zeros((n,)),
         aov_normal=V3.zeros((n,)),
         aov_weight=jnp.zeros((n,), jnp.float32),
+        pixel=jnp.arange(n, dtype=jnp.int32),
         live=live0,
         rays=rays0,
     )
 
     def bounce(carry, b):
         del b
+        if compact:
+            carry = _permute_carry(carry, _compact_perm(carry["alive"]))
         ro = carry["ro"]
         rd = carry["rd"]
         state = carry["state"]
@@ -273,7 +372,8 @@ def trace_rays(
         state, (bu, bv) = rng.next_f32x2(state)
         if e > 0:
             li, ls = nee_light_strategy(
-                meta, arrays, light_table, lut, surf, hit.tri, rd, u_sel, bu, bv
+                meta, arrays, light_table, lut, surf, hit.tri, rd, u_sel, bu, bv,
+                active=surf_alive,
             )
             lum = lum + li * atten * surf_alive.astype(jnp.float32)
             rays = rays + jnp.sum(surf_alive.astype(jnp.float32))
@@ -305,9 +405,11 @@ def trace_rays(
             atten = atten * scale
             alive2 = alive2 & survive
 
-        # --- trace the continuation segment (ref :2333)
+        # --- trace the continuation segment (ref :2333); dead lanes carry
+        # t_far = 0 so compacted-away blocks skip all triangle work
         rays = rays + jnp.sum(alive2.astype(jnp.float32))
-        hit2 = scene_intersect(meta, arrays, ro2, rd2, 0.0, RCP_EPS)
+        t_far2 = jnp.where(alive2, RCP_EPS, 0.0)
+        hit2 = scene_intersect(meta, arrays, ro2, rd2, 0.0, t_far2)
         at2 = fetch_hit_attribs(meta, arrays, hit2)
 
         # MIS weight for emission at the new hit (ref EstimateDirect BSDF
@@ -345,18 +447,30 @@ def trace_rays(
                 state=state, lum=lum, atten=atten, alive=alive3,
                 media_skip=mskip,
                 aov_albedo=aov_albedo, aov_normal=aov_normal,
-                aov_weight=aov_weight, live=live, rays=rays,
+                aov_weight=aov_weight, pixel=carry["pixel"],
+                live=live, rays=rays,
             ),
             None,
         )
 
     carry, _ = jax.lax.scan(bounce, init, jnp.arange(max_bounces))
 
+    # undo the lane compaction: scatter per-lane results back to pixel order
+    # (without compaction lanes never move — skip the scatters, they cost
+    # ~1.2 ms each at 512² on TPU)
+    pix = carry["pixel"]
+
+    def unscatter(v: V3) -> jnp.ndarray:
+        if not compact:
+            return v.aos()
+        out = jnp.zeros((n, 3), jnp.float32)
+        return out.at[pix, 0].set(v.x).at[pix, 1].set(v.y).at[pix, 2].set(v.z)
+
     s = 1.0 / jnp.maximum(carry["aov_weight"], EPS)
     return TraceResult(
-        color=carry["lum"].aos(),
-        albedo=(carry["aov_albedo"] * s).aos(),
-        normal=(carry["aov_normal"] * s).aos(),
+        color=unscatter(carry["lum"]),
+        albedo=unscatter(carry["aov_albedo"] * s),
+        normal=unscatter(carry["aov_normal"] * s),
         live=carry["live"],
         rays_traced=carry["rays"],
     )

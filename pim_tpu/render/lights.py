@@ -195,6 +195,7 @@ def nee_light_strategy(
     src_tri,
     i_dir: V3,
     u_sel, bu, bv,
+    active=None,
 ):
     """Light-strategy half of the MIS estimator (ref EstimateDirect
     :1849-1890): sample a light point, trace ONE any-hit shadow ray, weight
@@ -202,6 +203,9 @@ def nee_light_strategy(
 
     The BSDF-strategy half lives in the integrator: the continuation ray's
     emission at the next hit is MIS-weighted there (ref :1891-1919).
+
+    active: optional [N] bool; inactive lanes get t_far = 0 so the any-hit
+    kernel can skip whole dead blocks (pairs with lane compaction).
 
     Returns (radiance V3, LightSample) — radiance is zero where invalid.
     """
@@ -211,6 +215,8 @@ def nee_light_strategy(
     # t_far a relative epsilon short of it (the ref instead closest-hits and
     # compares tri ids, path_tracer.c:1868-1875)
     t_far = ls.dist * jnp.float32(1.0 - 1e-3)
+    if active is not None:
+        t_far = jnp.where(active, t_far, 0.0)
     blocked = scene_occluded(meta, arrays, surf.p, ls.dir, 0.0, t_far)
 
     brdf_a, bp = eval_principled(lut, surf, i_dir, ls.dir)

@@ -80,6 +80,29 @@ def test_progressive_convergence(cornell):
     assert var_mean4 < var_single / 2.0
 
 
+def test_compaction_bit_identical(cornell):
+    """Lane compaction is a pure permutation: per-pixel output must match
+    with compact on/off (each lane's RNG stream travels with it).  ULP
+    tolerance: the two programs fuse/contract FMA differently, so exact
+    bit equality does not hold across compiles (measured max 1.5e-6)."""
+    _, meta, arrays, lights = cornell
+    n = 16
+    cam = Camera(position=np.array([-4, 0, 4], np.float32))
+    cam.look_at([0, -1, 0])
+    ca = camera_arrays(cam, DofInfo(autofocus=False), n, n)
+    state = rng.make_state(jnp.arange(n * n), 5)
+    state, ro, rd = generate_primary_rays(ca, n, n, state)
+    r_on = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces=5,
+                      compact=True)
+    r_off = trace_rays(meta, arrays, lights, ro, rd, state, max_bounces=5,
+                       compact=False)
+    np.testing.assert_allclose(np.asarray(r_on.color), np.asarray(r_off.color),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_on.albedo), np.asarray(r_off.albedo),
+                               rtol=1e-4, atol=1e-5)
+    assert float(r_on.rays_traced) == float(r_off.rays_traced)
+
+
 def test_light_histogram_learning(cornell):
     _, meta, arrays, lights = cornell
     res = _trace(meta, arrays, lights, bounces=6)

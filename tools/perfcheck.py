@@ -47,11 +47,12 @@ jax.block_until_ready(c)
 print(f"compile+first: {time.time()-t0:.1f}s")
 
 t0 = time.time()
-tot = 0.0
+handles = []
 for i in range(iters):
     c, r = step(jnp.uint32(1 + i))
-    tot += float(r)
+    handles.append(r)
 jax.block_until_ready(c)
 dt = time.time() - t0
+tot = sum(float(r) for r in handles)
 print(f"{n}x{n} {backend}: {dt/iters*1e3:.1f} ms/sample, "
       f"{tot/dt/1e6:.1f} Mrays/s")
