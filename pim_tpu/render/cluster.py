@@ -1,0 +1,469 @@
+"""Two-level cluster intersection: the map-scale Embree replacement.
+
+The dense Pallas kernel (pallas_kernels.py) is O(rays x tris) — unbeatable
+under ~2k triangles, ruinous at map scale.  Embree answers this with a
+per-ray BVH stack (ref: src/rendering/path_tracer.c:490-563, build
+:618-690); a per-lane stack is the worst possible TPU program (scalar
+gathers, divergence).  The TPU-native shape is *block-granular culling
+over dense tiles*:
+
+  host   BVH-style recursive SAH split until <= CB tris -> "clusters"
+         (DFS order = spatially coherent), each padded to CB lanes of
+         Baldwin-Weber rows; 16 consecutive clusters = one "supercluster".
+  kernel per 512-ray block:
+           1. dense slab test of ALL superclusters vs the block [RB, S]
+              -> per-supercluster scalar liveness (one vectorized pass)
+           2. for each live supercluster: dense slab test of its 16
+              clusters [RB, 16] against the block's running best_t
+           3. for each live cluster: dense Baldwin-Weber test of its
+              CB=128 triangles [RB, CB], updating a per-(ray, lane)
+              best_t/best_cluster pair (argmin deferred to one final
+              lane reduction — no per-cluster argmin)
+
+Divergence is paid at block granularity: a cluster is tested iff ANY ray
+in the block needs it, so coherent blocks (primary rays, or sorted
+secondary rays — see sort_rays_key) touch only the clusters along their
+beam.  Dead lanes carry t_far <= 0 and never wake a cluster; an all-dead
+block skips everything.
+
+Layouts (lanes are the fast axis; no trailing small dims):
+  tris  [12, C*CB] f32   BW components on sublanes, triangles on lanes,
+                         cluster-contiguous (cluster c = lanes [c*CB, ...))
+  clb   [6*S, 128] f32   row a*S+s = component a (lox loy loz hix hiy hiz)
+                         of supercluster s's CPS clusters in lanes 0..CPS
+                         (dynamic LANE slices must be 128-aligned on TPU,
+                         dynamic sublane slices are free — so cluster
+                         bounds are tiled by supercluster on sublanes)
+  scb   [8, Spad]  f32   rows lox..hiz, superclusters on lanes (pad
+                         boxes are a point at +BIG: slab always fails)
+  rays  [N, 8]    f32    cols rox roy roz tnear rdx rdy rdz tfar
+                         (rays on SUBLANES here — compute tiles are
+                         [rays, tris] = [RB, CB])
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CB = 128           # triangles per cluster = one lane tile
+CPS = 16           # clusters per supercluster
+RAY_BLOCK = 512    # rays per grid block (sublanes)
+_BIG = 3.0e38
+_IBIG = 2**31 - 1
+
+# Measured on v5e (tools/bench_cluster.py): 703k tris (1.10M packed lanes)
+# compiles and runs at 33-64 Mrays/s; 1.80M tris (2.74M lanes) fails to
+# compile (VMEM).  Scenes beyond this route to the XLA bvh backend.
+MAX_CLUSTER_TRIS = 700_000
+
+
+class ClusterArrays(NamedTuple):
+    tris: jnp.ndarray      # [12, C*CB] f32
+    slot_tri: jnp.ndarray  # [C*CB] i32 packed slot -> original tri id (-1 pad)
+    clb: jnp.ndarray       # [6*S, 128] f32 (see module doc)
+    scb: jnp.ndarray       # [8, Spad] f32
+
+
+def dummy_cluster_arrays() -> ClusterArrays:
+    """Placeholder for scenes routed to other backends (keeps SceneArrays
+    a fixed-shape pytree without carrying a second copy of the scene)."""
+    return ClusterArrays(
+        tris=jnp.zeros((12, CB), jnp.float32),
+        slot_tri=jnp.full((CB,), -1, jnp.int32),
+        # padded boxes are a point at +BIG: the slab entry goes to +inf
+        # (or exit to -inf), so the test always fails regardless of ray sign
+        clb=jnp.full((6, 128), _BIG, jnp.float32),
+        scb=jnp.broadcast_to(
+            jnp.asarray([_BIG] * 6 + [0, 0], jnp.float32)[:, None],
+            (8, 8)).copy(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host build
+# ---------------------------------------------------------------------------
+
+
+def _split_until(idx: np.ndarray, tri_lo, tri_hi, centroids, cb: int, out):
+    """Recursive binned-SAH split; stops the moment a range fits a cluster
+    (unlike a full BVH build we *want* leaves near CB, so no leaf-cost
+    test).  Appends tri-index arrays to `out` in DFS order."""
+    stack = [idx]
+    while stack:
+        cur = stack.pop()
+        if len(cur) <= cb:
+            out.append(cur)
+            continue
+        c = centroids[cur]
+        lo = c.min(axis=0)
+        hi = c.max(axis=0)
+        ext = hi - lo
+        axis = int(np.argmax(ext))
+        mask = None
+        if ext[axis] > 1e-12:
+            nbins = 16
+            scale = nbins * (1.0 - 1e-6) / ext[axis]
+            bins = np.minimum(((c[:, axis] - lo[axis]) * scale).astype(np.int32),
+                              nbins - 1)
+            counts = np.bincount(bins, minlength=nbins)
+            blo = np.full((nbins, 3), np.inf, np.float32)
+            bhi = np.full((nbins, 3), -np.inf, np.float32)
+            for a in range(3):
+                np.minimum.at(blo[:, a], bins, tri_lo[cur, a])
+                np.maximum.at(bhi[:, a], bins, tri_hi[cur, a])
+
+            def area(lo_, hi_):
+                d = np.maximum(hi_ - lo_, 0.0)
+                return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+            lcount = np.cumsum(counts)[:-1]
+            rcount = counts.sum() - lcount
+            llo = np.minimum.accumulate(blo, axis=0)[:-1]
+            lhi = np.maximum.accumulate(bhi, axis=0)[:-1]
+            rlo = np.minimum.accumulate(blo[::-1], axis=0)[::-1][1:]
+            rhi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1][1:]
+            cost = np.where((lcount > 0) & (rcount > 0),
+                            area(llo, lhi) * lcount + area(rlo, rhi) * rcount,
+                            np.inf)
+            best = int(np.argmin(cost))
+            if np.isfinite(cost[best]):
+                mask = bins <= best
+        if mask is None:
+            med = np.argsort(c[:, axis], kind="stable")
+            mask = np.zeros(len(cur), bool)
+            mask[med[: len(cur) // 2]] = True
+        # right pushed first so left is processed first (DFS order)
+        stack.append(cur[~mask])
+        stack.append(cur[mask])
+
+
+def build_clusters(positions: np.ndarray, cb: int = CB,
+                   cps: int = CPS) -> ClusterArrays:
+    """Flat soup [V, 3] -> device cluster arrays (see module doc)."""
+    from pim_tpu.render.pallas_kernels import bw_rows
+
+    pos = np.asarray(positions, np.float32)
+    tri_count = pos.shape[0] // 3
+    if tri_count == 0:
+        return dummy_cluster_arrays()
+
+    tris = pos[: tri_count * 3].reshape(tri_count, 3, 3)
+    tri_lo = tris.min(axis=1)
+    tri_hi = tris.max(axis=1)
+    centroids = (tri_lo + tri_hi) * 0.5
+
+    groups: list = []
+    _split_until(np.arange(tri_count, dtype=np.int64), tri_lo, tri_hi,
+                 centroids, cb, groups)
+
+    c = len(groups)
+    cpad = -(-c // cps) * cps
+    bw = bw_rows(pos)  # [T, 12]
+
+    # tri lanes padded to cpad*cb so even a (gated-off) padded-cluster
+    # slice stays in bounds
+    tris_packed = np.zeros((cpad * cb, 12), np.float32)
+    slot_tri = np.full(cpad * cb, -1, np.int32)
+    cb6 = np.full((6, cpad), _BIG, np.float32)  # point-at-+BIG: always fails
+    for i, g in enumerate(groups):
+        tris_packed[i * cb : i * cb + len(g)] = bw[g]
+        slot_tri[i * cb : i * cb + len(g)] = g
+        cb6[0:3, i] = tri_lo[g].min(axis=0)
+        cb6[3:6, i] = tri_hi[g].max(axis=0)
+
+    n_sc = cpad // cps
+    # cluster bounds tiled by supercluster on sublanes: row a*n_sc + s
+    clb = np.full((6 * n_sc, 128), _BIG, np.float32)
+    for a in range(6):
+        for si in range(n_sc):
+            clb[a * n_sc + si, :cps] = cb6[a, si * cps : (si + 1) * cps]
+
+    spad = max(-(-n_sc // 8) * 8, 8)
+    scb = np.zeros((8, spad), np.float32)
+    scb[0:6, :] = _BIG
+    for i in range(n_sc):
+        cl = cb6[:, i * cps : (i + 1) * cps]
+        real = cl[0, :] < _BIG * 0.5
+        if real.any():
+            scb[0:3, i] = cl[0:3, real].min(axis=1)
+            scb[3:6, i] = cl[3:6, real].max(axis=1)
+
+    return ClusterArrays(
+        tris=jnp.asarray(tris_packed.T.copy()),
+        slot_tri=jnp.asarray(slot_tri),
+        clb=jnp.asarray(clb),
+        scb=jnp.asarray(scb),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _ray_cols(rays_ref):
+    return tuple(rays_ref[:, k : k + 1] for k in range(8))
+
+
+def _safe_inv(x):
+    return jnp.where(jnp.abs(x) > 1e-12, 1.0 / x, jnp.float32(1e12))
+
+
+def _slab_lanes(row, ro, inv_rd, tnear, bt):
+    """Slab test against the ray block.  `row(a)` yields component a
+    (0..5 = lox loy loz hix hiy hiz) as a [1, K] lane vector; ro/inv_rd:
+    3-tuples of [RB, 1]; bt (per-ray far bound) [RB, 1].
+    Returns live mask [RB, K]."""
+    entry = tnear
+    exit_ = bt
+    for a in range(3):
+        lo = row(a)                      # [1, K]
+        hi = row(a + 3)
+        t0 = (lo - ro[a]) * inv_rd[a]
+        t1 = (hi - ro[a]) * inv_rd[a]
+        entry = jnp.maximum(entry, jnp.minimum(t0, t1))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+    return entry <= exit_
+
+
+def _bw_lanes(tris_ref, ds, ro, rd, tnear):
+    """Baldwin-Weber test of a triangle lane-slice [12, CB] against the
+    ray block.  ro/rd: 3-tuples of [RB, 1].  Returns (t, ok) [RB, CB]."""
+    def row(k):
+        return tris_ref[k : k + 1, ds]   # [1, CB]
+
+    nx, ny, nz, d = row(0), row(1), row(2), row(3)
+    den = nx * rd[0] + ny * rd[1] + nz * rd[2]
+    num = d - (nx * ro[0] + ny * ro[1] + nz * ro[2])
+    t = num / den
+    px = ro[0] + t * rd[0]
+    py = ro[1] + t * rd[1]
+    pz = ro[2] + t * rd[2]
+    u = row(4) * px + row(5) * py + row(6) * pz + row(7)
+    v = row(8) * px + row(9) * py + row(10) * pz + row(11)
+    ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tnear)
+    return t, ok
+
+
+def _lane_scalar(vec, j):
+    """vec [1, K], j traced int -> scalar vec[0, j] (dynamic lane reads
+    from VMEM are not supported on TPU; a lane-iota select + max-reduce
+    is — ~3 VPU ops on one vreg)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, vec.shape, 1)
+    return jnp.max(jnp.where(lanes == j, vec, -_BIG))
+
+
+def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, slot_out,
+                  bt_ref, bc_ref, *, n_sc, cps, cb, rb):
+    rox, roy, roz, tnear, rdx, rdy, rdz, tfar = _ray_cols(rays_ref)
+    ro = (rox, roy, roz)
+    rd = (rdx, rdy, rdz)
+    inv_rd = (_safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz))
+
+    bt_ref[:, :] = jnp.broadcast_to(tfar, (rb, cb))
+    bc_ref[:, :] = jnp.full((rb, cb), -1, jnp.int32)
+
+    @pl.when(jnp.max(tfar) > 0.0)
+    def _():
+        # 1. dense supercluster gate (against the static t_far — the
+        # evolving best_t prunes at cluster level below)
+        live_s = _slab_lanes(lambda a: scb_ref[a : a + 1, :],
+                             ro, inv_rd, tnear, tfar)
+        scm = jnp.max(jnp.where(live_s, 1.0, 0.0), axis=0, keepdims=True)
+
+        def sc_body(s, carry):
+            @pl.when(_lane_scalar(scm, s) > 0.0)
+            def _():
+                bt_ray = jnp.min(bt_ref[:, :], axis=1, keepdims=True)
+                live_c = _slab_lanes(
+                    lambda a: clb_ref[pl.ds(a * n_sc + s, 1), :],
+                    ro, inv_rd, tnear, bt_ray)
+                clm = jnp.max(jnp.where(live_c, 1.0, 0.0), axis=0,
+                              keepdims=True)
+
+                def cl_body(j, carry2):
+                    @pl.when(_lane_scalar(clm, j) > 0.0)
+                    def _():
+                        c = s * cps + j
+                        ds = pl.ds(pl.multiple_of(c * cb, cb), cb)
+                        t, ok = _bw_lanes(tris_ref, ds, ro, rd, tnear)
+                        bt = bt_ref[:, :]
+                        better = ok & (t < bt)
+                        bc_ref[:, :] = jnp.where(better, c, bc_ref[:, :])
+                        bt_ref[:, :] = jnp.where(better, t, bt)
+                    return carry2
+
+                jax.lax.fori_loop(0, cps, cl_body, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_sc, sc_body, 0)
+
+    # final: one lane argmin over the per-(ray, lane) bests
+    bt = bt_ref[:, :]
+    bc = bc_ref[:, :]
+    tm = jnp.where(bc >= 0, bt, _BIG)
+    tmin = jnp.min(tm, axis=1, keepdims=True)
+    found = tmin < _BIG * 0.5
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, cb), 1)
+    slot = jnp.min(
+        jnp.where(tm == tmin, bc * cb + lane, _IBIG), axis=1, keepdims=True)
+    t_out[:, :] = jnp.where(found, tmin, -1.0)
+    slot_out[:, :] = jnp.where(found, slot, -1)
+
+
+def _anyhit_kernel(scb_ref, clb_ref, tris_ref, rays_ref, hit_out,
+                   blk_ref, *, n_sc, cps, cb, rb):
+    rox, roy, roz, tnear, rdx, rdy, rdz, tfar = _ray_cols(rays_ref)
+    ro = (rox, roy, roz)
+    rd = (rdx, rdy, rdz)
+    inv_rd = (_safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz))
+
+    # dead lanes start "blocked" so the all-blocked early exit can fire
+    # for partially-dead blocks (lane-deferred: [RB, CB] accumulator,
+    # reduced once per supercluster)
+    dead = jnp.broadcast_to(tfar <= 0.0, (rb, cb))
+    blk_ref[:, :] = jnp.where(dead, 1.0, 0.0)
+
+    @pl.when(jnp.max(tfar) > 0.0)
+    def _():
+        live_s = _slab_lanes(lambda a: scb_ref[a : a + 1, :],
+                             ro, inv_rd, tnear, tfar)
+        scm = jnp.max(jnp.where(live_s, 1.0, 0.0), axis=0, keepdims=True)
+
+        def cond(carry):
+            s, all_blocked = carry
+            return (s < n_sc) & jnp.logical_not(all_blocked)
+
+        def body(carry):
+            s, _ = carry
+            blocked_ray = jnp.max(blk_ref[:, :], axis=1, keepdims=True)
+
+            @pl.when(_lane_scalar(scm, s) > 0.0)
+            def _():
+                open_far = jnp.where(blocked_ray > 0.0, jnp.float32(0.0), tfar)
+                live_c = _slab_lanes(
+                    lambda a: clb_ref[pl.ds(a * n_sc + s, 1), :],
+                    ro, inv_rd, tnear, open_far)
+                clm = jnp.max(jnp.where(live_c, 1.0, 0.0), axis=0,
+                              keepdims=True)
+
+                def cl_body(j, carry2):
+                    @pl.when(_lane_scalar(clm, j) > 0.0)
+                    def _():
+                        c = s * cps + j
+                        ds = pl.ds(pl.multiple_of(c * cb, cb), cb)
+                        t, ok = _bw_lanes(tris_ref, ds, ro, rd, tnear)
+                        hit = ok & (t < tfar)
+                        blk_ref[:, :] = jnp.maximum(
+                            blk_ref[:, :], jnp.where(hit, 1.0, 0.0))
+                    return carry2
+
+                jax.lax.fori_loop(0, cps, cl_body, 0)
+
+            all_blocked = jnp.min(
+                jnp.max(blk_ref[:, :], axis=1, keepdims=True)) > 0.0
+            return s + 1, all_blocked
+
+        jax.lax.while_loop(cond, body, (0, False))
+
+    # a dead lane is not a hit
+    hit = jnp.max(blk_ref[:, :], axis=1, keepdims=True)
+    hit_out[:, :] = jnp.where(tfar > 0.0, hit, 0.0).astype(jnp.int32)
+
+
+@jax.jit
+def _isect_call(scb, clb, tris, rays_t):
+    n = rays_t.shape[0]
+    n_sc = clb.shape[0] // 6
+    kernel = functools.partial(
+        _isect_kernel, n_sc=n_sc, cps=CPS, cb=CB, rb=RAY_BLOCK)
+    t, slot = pl.pallas_call(
+        kernel,
+        grid=(n // RAY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(scb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(clb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, CB), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, CB), jnp.int32),
+        ],
+    )(scb, clb, tris, rays_t)
+    return t[:, 0], slot[:, 0]
+
+
+@jax.jit
+def _anyhit_call(scb, clb, tris, rays_t):
+    n = rays_t.shape[0]
+    n_sc = clb.shape[0] // 6
+    kernel = functools.partial(
+        _anyhit_kernel, n_sc=n_sc, cps=CPS, cb=CB, rb=RAY_BLOCK)
+    hit = pl.pallas_call(
+        kernel,
+        grid=(n // RAY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(scb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(clb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, CB), jnp.float32),
+        ],
+    )(scb, clb, tris, rays_t)
+    return hit[:, 0]
+
+
+def _pack_rays_t(ro, rd, t_near, t_far):
+    """V3 / [N,3] rays -> ([Npad, 8] rays-on-sublanes, n)."""
+    from pim_tpu.math.vec3 import V3
+
+    if not isinstance(ro, V3):
+        ro = V3.from_aos(ro)
+    if not isinstance(rd, V3):
+        rd = V3.from_aos(rd)
+    n = ro.x.shape[0]
+    t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))
+    t_far = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
+    rays = jnp.stack(
+        [ro.x, ro.y, ro.z, t_near, rd.x, rd.y, rd.z, t_far], axis=1)
+    npad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    if npad != n:
+        rays = jnp.pad(rays, ((0, npad - n), (0, 0)))
+    return rays, n
+
+
+def intersect_cluster_raw(cl: ClusterArrays, ro, rd, t_near, t_far):
+    """Closest hit; returns (t [N], tri [N]) with tri = -1 on miss."""
+    rays_t, n = _pack_rays_t(ro, rd, t_near, t_far)
+    t, slot = _isect_call(cl.scb, cl.clb, cl.tris, rays_t)
+    t = t[:n]
+    slot = slot[:n]
+    tri = jnp.where(
+        slot >= 0, cl.slot_tri[jnp.clip(slot, 0, cl.slot_tri.shape[0] - 1)], -1)
+    return t, tri
+
+
+def occluded_cluster(cl: ClusterArrays, ro, rd, t_near, t_far):
+    rays_t, n = _pack_rays_t(ro, rd, t_near, t_far)
+    return (_anyhit_call(cl.scb, cl.clb, cl.tris, rays_t) > 0)[:n]

@@ -50,13 +50,14 @@ _BIG = 3.0e38
 _IBIG = 2**31 - 1
 
 
-def pack_tris(positions) -> jnp.ndarray:
-    """positions [V, 3] -> [Tpad, 12] Baldwin-Weber rows (see module doc),
-    sublane-padded with degenerate triangles."""
+def bw_rows(positions) -> np.ndarray:
+    """positions [V, 3] -> [T, 12] Baldwin-Weber rows, f64 precompute,
+    f32 output, unpadded.  Degenerate triangles get n = 0 (their NaN t
+    fails every validity compare in the kernels)."""
     pos = np.asarray(positions, np.float64)  # precompute in f64, store f32
     tri_count = pos.shape[0] // 3
     if tri_count == 0:
-        return jnp.zeros((8, 12), jnp.float32)
+        return np.zeros((0, 12), np.float32)
     tris = pos[: tri_count * 3].reshape(tri_count, 3, 3)
     a = tris[:, 0]
     e1 = tris[:, 1] - tris[:, 0]
@@ -86,9 +87,17 @@ def pack_tris(positions) -> jnp.ndarray:
 
     degen = np.sum(n * n, axis=-1) == 0.0
     n[degen] = 0.0
-    packed = np.concatenate(
+    return np.concatenate(
         [n, d[:, None], u_row, uw[:, None], v_row, vw[:, None]], axis=-1
     ).astype(np.float32)
+
+
+def pack_tris(positions) -> jnp.ndarray:
+    """positions [V, 3] -> [Tpad, 12] Baldwin-Weber rows (see module doc),
+    sublane-padded with degenerate triangles."""
+    packed = bw_rows(positions)
+    if packed.shape[0] == 0:
+        return jnp.zeros((8, 12), jnp.float32)
     # pad only to the 8-sublane tile, or to a TRI_BLOCK multiple when
     # chunking kicks in — padding 108 tris to 256 would double the VPU work
     if packed.shape[0] <= TRI_BLOCK:

@@ -69,6 +69,11 @@ class SceneArrays(NamedTuple):
     brdf_lut: jnp.ndarray      # [L, L, 2]
     # sky cubemap [6, R, R, 3] (R=1 zeros when absent)
     sky: jnp.ndarray
+    # cluster backend (render/cluster.py; dummies when backend != 'cluster')
+    cl_tris: jnp.ndarray       # [12, C*CB]
+    cl_slot_tri: jnp.ndarray   # [C*CB] i32
+    cl_clb: jnp.ndarray        # [8, Cpad]
+    cl_scb: jnp.ndarray        # [8, Spad]
 
 
 @dataclass(frozen=True)
@@ -93,6 +98,13 @@ class SceneMeta:
 
     def grid_spec(self, grid_lo) -> GridSpec:
         return GridSpec(lo=grid_lo, size=self.grid_size, cells_per_meter=self.cells_per_meter)
+
+
+# dense-Pallas -> cluster crossover, measured (tools/bench_cluster.py,
+# v5e, 262k rays): dense 76-110 Mrays/s at 7k tris vs cluster 60-69;
+# extrapolated crossover ~8-12k tris.  Above cluster's VMEM ceiling the
+# XLA lockstep-bvh backend takes over.
+DENSE_CROSSOVER_TRIS = 8192
 
 
 class LightState(NamedTuple):
@@ -142,12 +154,25 @@ def _finalize_hit_fused(arrays: SceneArrays, t, tri, ro: V3, rd: V3) -> Hit:
     )
 
 
+def _cluster_arrays(arrays: SceneArrays):
+    from pim_tpu.render.cluster import ClusterArrays
+
+    return ClusterArrays(tris=arrays.cl_tris, slot_tri=arrays.cl_slot_tri,
+                         clb=arrays.cl_clb, scb=arrays.cl_scb)
+
+
 def scene_intersect(meta: SceneMeta, arrays: SceneArrays, ro: V3, rd: V3,
                     t_near, t_far) -> Hit:
     if meta.backend == "pallas":
         from pim_tpu.render.pallas_kernels import intersect_pallas_raw
 
         t, tri = intersect_pallas_raw(arrays.tris9, ro, rd, t_near, t_far)
+        return _finalize_hit_fused(arrays, t, tri, ro, rd)
+    if meta.backend == "cluster":
+        from pim_tpu.render.cluster import intersect_cluster_raw
+
+        t, tri = intersect_cluster_raw(_cluster_arrays(arrays), ro, rd,
+                                       t_near, t_far)
         return _finalize_hit_fused(arrays, t, tri, ro, rd)
     ro_a = ro.aos()
     rd_a = rd.aos()
@@ -163,6 +188,10 @@ def scene_occluded(meta: SceneMeta, arrays: SceneArrays, ro: V3, rd: V3,
         from pim_tpu.render.pallas_kernels import occluded_pallas
 
         return occluded_pallas(arrays.tris9, ro, rd, t_near, t_far)
+    if meta.backend == "cluster":
+        from pim_tpu.render.cluster import occluded_cluster
+
+        return occluded_cluster(_cluster_arrays(arrays), ro, rd, t_near, t_far)
     ro_a = ro.aos()
     rd_a = rd.aos()
     if meta.backend == "bvh":
@@ -442,7 +471,16 @@ def build_scene(
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         if on_tpu:
-            backend = "pallas" if tri_count <= 65536 else "bvh"
+            # measured crossover (tools/bench_cluster.py, TPU v5e):
+            # dense wins under ~8k tris, cluster beyond, XLA-bvh past VMEM
+            from pim_tpu.render.cluster import MAX_CLUSTER_TRIS
+
+            if tri_count <= DENSE_CROSSOVER_TRIS:
+                backend = "pallas"
+            elif tri_count <= MAX_CLUSTER_TRIS:
+                backend = "cluster"
+            else:
+                backend = "bvh"
         else:
             backend = "brute" if tri_count <= brute_threshold else "bvh"
     bvh = build_bvh(flat.positions, max_leaf=max_leaf)
@@ -493,6 +531,13 @@ def build_scene(
         rec_t[:4] = tex_rec.T.astype(np.float32)
     rec_t[4] = float(atlas_w)
 
+    from pim_tpu.render.cluster import build_clusters, dummy_cluster_arrays
+
+    if backend == "cluster":
+        cluster = build_clusters(flat.positions)
+    else:
+        cluster = dummy_cluster_arrays()
+
     g = grid_len(grid)
     arrays = SceneArrays(
         positions=jnp.asarray(flat.positions),
@@ -520,6 +565,10 @@ def build_scene(
         cell_active_f=jnp.zeros((1, g), jnp.float32),
         brdf_lut=lut.texels,
         sky=sky_arr,
+        cl_tris=cluster.tris,
+        cl_slot_tri=cluster.slot_tri,
+        cl_clb=cluster.clb,
+        cl_scb=cluster.scb,
     )
 
     cell_active, light_state = bake_light_grid(meta, arrays)
