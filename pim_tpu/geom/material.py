@@ -67,6 +67,10 @@ class TexturePool:
     def add_flat(self, rgba) -> int:
         return self.add(np.asarray(rgba, np.float32).reshape(1, 1, 4))
 
+    def get(self, tex_id: int) -> np.ndarray:
+        """The [h, w, 4] float32 image registered under tex_id."""
+        return self._images[tex_id]
+
     def __len__(self) -> int:
         return len(self._images)
 
@@ -112,6 +116,13 @@ class TexturePool:
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
     c = np.clip(np.asarray(c, np.float32), 0.0, 1.0)
     return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def linear_to_srgb(c: np.ndarray) -> np.ndarray:
+    c = np.clip(np.asarray(c, np.float32), 0.0, 1.0)
+    return np.where(
+        c <= 0.0031308, c * 12.92, 1.055 * np.power(c, 1.0 / 2.4) - 0.055
+    ).astype(np.float32)
 
 
 def material_soa(materials: List[Material]) -> dict:

@@ -86,15 +86,37 @@ def gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray,
         idx2 = jnp.pad(idx2, ((0, 0), (0, npad - n)), constant_values=-1)
 
     tchunk = min(tpad, 512)
+
+    # VMEM-aware ray block: table + output block + in-VMEM one-hot must fit
+    # the ~16 MB scoped budget (tall fused light tables at map scale push
+    # F past 1k; a fixed 2048-ray block then overflows)
+    budget = (10 << 20) // 4  # f32 words; out blocks are double-buffered
+    rblock = GATHER_RAY_BLOCK
+
+    def vmem_words(rb):
+        return fpad * tpad + (2 * fpad + tchunk) * rb
+
+    while rblock > 128 and vmem_words(rblock) > budget:
+        rblock //= 2
+    if vmem_words(rblock) > budget:
+        # table too large for VMEM residency: plain XLA gather fallback
+        return jnp.take(table_t[:f], idx.astype(jnp.int32), axis=1,
+                        mode="fill", fill_value=0.0)
+
+    npad = -(-n // rblock) * rblock
+    if npad != idx2.shape[1]:
+        idx2 = idx2[:, :n]
+        idx2 = jnp.pad(idx2, ((0, 0), (0, npad - n)), constant_values=-1)
+
     kernel = functools.partial(_gather_kernel, t=tpad, tchunk=tchunk)
     out = pl.pallas_call(
         kernel,
-        grid=(npad // GATHER_RAY_BLOCK,),
+        grid=(npad // rblock,),
         in_specs=[
             pl.BlockSpec((fpad, tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GATHER_RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rblock), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((fpad, GATHER_RAY_BLOCK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((fpad, rblock), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((fpad, npad), jnp.float32),
         interpret=interpret,

@@ -429,7 +429,50 @@ class RenderSystem:
             self.reset_accumulation()
             return CmdStat.OK
 
+        def cmd_mapgen(argv: List[str]) -> CmdStat:
+            """Generate a procedural multi-room map, export it as a real glTF
+            asset under <basedir>/<name>/glTF/, then load it through the
+            importer (full mapload pipeline, ref render_system.c:1417-1464)."""
+            name = argv[1] if len(argv) > 1 else "e1m1"
+            rooms_s = cmd_getopt(argv, "rooms")
+            seed_s = cmd_getopt(argv, "seed")
+            steps_s = cmd_getopt(argv, "steps")
+            rooms = tuple(int(v) for v in rooms_s.split("x")) if rooms_s else (3, 3)
+            from pim_tpu.geom.maps import export_map
+
+            path = export_map(
+                name, base_dir=cv.cv_basedir.get(),
+                rooms=rooms, seed=int(seed_s) if seed_s else 1,
+                sphere_steps=int(steps_s) if steps_s else 24,
+            )
+            con_logf(LogSev.Info, "map", "generated %s", path)
+            return get_cmd_system().immediate(f"mapload {name}")
+
+        def cmd_loadtest(argv: List[str]) -> CmdStat:
+            """Load/unload every map under <basedir> (ref loadtest, stubbed
+            there at render_system.c:1412-1415; functional here)."""
+            base = cv.cv_basedir.get()
+            if not os.path.isdir(base):
+                con_logf(LogSev.Error, "map", "no basedir '%s'", base)
+                return CmdStat.ERR
+            names = sorted(
+                n for n in os.listdir(base)
+                if os.path.isdir(os.path.join(base, n, "glTF"))
+            )
+            for n in names:
+                if get_cmd_system().immediate(f"mapload {n}") != CmdStat.OK:
+                    return CmdStat.ERR
+                tris = sum(
+                    m.length // 3 for m in self.entities.meshes if m is not None
+                )
+                con_logf(LogSev.Info, "map", "loadtest %s: %d tris ok", n, tris)
+                self.entities.clear()
+            con_logf(LogSev.Info, "map", "loadtest: %d maps ok", len(names))
+            return CmdStat.OK
+
         sys.reg("cornell_box", cmd_cornell, "load the cornell box test scene")
+        sys.reg("mapgen", cmd_mapgen, "generate + export + load a procedural map")
+        sys.reg("loadtest", cmd_loadtest, "load/unload every map in basedir")
         sys.reg("teleport", cmd_teleport, "move the camera")
         sys.reg("lookat", cmd_lookat, "aim the camera at a point")
         sys.reg("pt_test", cmd_pt_test, "run the path tracer convergence test")

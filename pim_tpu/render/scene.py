@@ -395,37 +395,56 @@ def bake_light_grid(meta: SceneMeta, arrays: SceneArrays) -> Tuple[jnp.ndarray, 
     hit_ratio = jnp.mean((hit.t >= 0.0).reshape(g, 16).astype(jnp.float32), axis=-1)
     cell_active = near_surface | (hit_ratio >= 0.5)
 
-    # visibility seeding: [G * E * S] rays
+    # visibility seeding: [G * E * S] rays, chunked over cells so the ray
+    # batch stays bounded at map-scale emissive counts (the reference streams
+    # the same work through the task pool, :959).  RNG is keyed by the global
+    # ray id, so chunked and unchunked bakes are bit-identical.
     s = 16
-    key_state = rng.make_state(jnp.arange(g * e * s, dtype=jnp.uint32), 0, seed=0x11671)
-    key_state, (ox, oy, oz, _) = rng.next_f32x4(key_state)
-    key_state, (bu, bv) = rng.next_f32x2(key_state)
-
-    def rep(x):
-        return jnp.repeat(x, e * s)
-
-    origins = V3(
-        rep(centers.x) + (ox * 3.0 - 1.5) * radius,
-        rep(centers.y) + (oy * 3.0 - 1.5) * radius,
-        rep(centers.z) + (oz * 3.0 - 1.5) * radius,
-    )
-    emit_tris = arrays.emit_to_tri_f[0].astype(jnp.int32)  # [E]
-    tri = jnp.repeat(jnp.tile(emit_tris, (g,)), s)  # [G*E*S]
-
     from pim_tpu.render import fetch as F
 
-    rows = F.fetch_cols(arrays.tri_table, tri)
-    a = F.v3_rows(rows, F.PA)
-    b = F.v3_rows(rows, F.PB)
-    c = F.v3_rows(rows, F.PC)
-    w_, u_, v_ = sample_bary_coord(bu, bv)
-    target = a * w_ + b * u_ + c * v_
-    delta = target - origins
-    dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-12))
-    rd2 = delta * (1.0 / dist)
-    blocked = scene_occluded(meta, arrays, origins, rd2, 0.0, dist - 0.01 * MILLI)
-    vis = 1.0 - blocked.astype(jnp.float32)
-    pdf = jnp.mean(vis.reshape(g, e, s), axis=-1)
+    emit_tris = arrays.emit_to_tri_f[0].astype(jnp.int32)  # [E]
+
+    def chunk_pdf(cell_idx: jnp.ndarray) -> jnp.ndarray:
+        gc = cell_idx.shape[0]
+        ray_id = (cell_idx[:, None] * (e * s)
+                  + jnp.arange(e * s, dtype=jnp.int32)).reshape(-1)
+        key_state = rng.make_state(ray_id.astype(jnp.uint32), 0, seed=0x11671)
+        key_state, (ox, oy, oz, _) = rng.next_f32x4(key_state)
+        key_state, (bu, bv) = rng.next_f32x2(key_state)
+
+        def rep(x):
+            return jnp.repeat(x[cell_idx], e * s)
+
+        origins = V3(
+            rep(centers.x) + (ox * 3.0 - 1.5) * radius,
+            rep(centers.y) + (oy * 3.0 - 1.5) * radius,
+            rep(centers.z) + (oz * 3.0 - 1.5) * radius,
+        )
+        tri = jnp.repeat(jnp.tile(emit_tris, (gc,)), s)  # [Gc*E*S]
+        rows = F.fetch_cols(arrays.tri_table, tri)
+        a = F.v3_rows(rows, F.PA)
+        b = F.v3_rows(rows, F.PB)
+        c = F.v3_rows(rows, F.PC)
+        w_, u_, v_ = sample_bary_coord(bu, bv)
+        target = a * w_ + b * u_ + c * v_
+        delta = target - origins
+        dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-12))
+        rd2 = delta * (1.0 / dist)
+        blocked = scene_occluded(meta, arrays, origins, rd2, 0.0, dist - 0.01 * MILLI)
+        vis = 1.0 - blocked.astype(jnp.float32)
+        return jnp.mean(vis.reshape(gc, e, s), axis=-1)
+
+    max_rays = 4 << 20
+    gc = max(1, min(g, max_rays // max(e * s, 1)))
+    if gc >= g:
+        pdf = chunk_pdf(jnp.arange(g, dtype=jnp.int32))
+    else:
+        # uniform chunk shape (clamped tail indices) -> one compile
+        parts = []
+        for g0 in range(0, g, gc):
+            idx = jnp.clip(jnp.arange(g0, g0 + gc, dtype=jnp.int32), 0, g - 1)
+            parts.append(chunk_pdf(idx))
+        pdf = jnp.concatenate(parts, axis=0)[:g]
     pdf = pdf * cell_active[:, None].astype(jnp.float32)
 
     baked = dist1d.bake(pdf)
