@@ -21,22 +21,32 @@ from pim_tpu.render.render_system import RenderSystem
 
 @dataclass
 class Engine:
-    width: int = 256
-    height: int = 256
+    width: Optional[int] = None
+    height: Optional[int] = None
     max_frames: Optional[int] = None
 
     render: RenderSystem = None
     frame: int = 0
 
     def init(self) -> None:
-        from pim_tpu.core.cvars import cv_con_logpath
+        from pim_tpu.core.cvars import (
+            cv_con_logpath, cv_r_height, cv_r_scale, cv_r_width,
+        )
 
         if cv_con_logpath.get():
             get_console().set_log_path(cv_con_logpath.get())
-        self.render = RenderSystem(width=self.width, height=self.height)
+        # explicit --width/--height pin the base-resolution cvars (the
+        # reference's window size); r_scale then applies on top, exactly
+        # like the reference render-target sizing (cvars.c:136-168)
+        if self.width is not None:
+            cv_r_width.set(self.width)
+        if self.height is not None:
+            cv_r_height.set(self.height)
+        w = max(1, int(round(cv_r_width.get() * cv_r_scale.get())))
+        h = max(1, int(round(cv_r_height.get() * cv_r_scale.get())))
+        self.render = RenderSystem(width=w, height=h)
         self.render.init()
-        con_logf(LogSev.Info, "app", "pim_tpu engine initialized (%dx%d)",
-                 self.width, self.height)
+        con_logf(LogSev.Info, "app", "pim_tpu engine initialized (%dx%d)", w, h)
 
     def update(self) -> None:
         ts = get_timesys()
@@ -48,8 +58,10 @@ class Engine:
             self.render.update()
         self.frame += 1
 
-    def run(self, script: Optional[str] = None) -> None:
-        """Batch mode: enqueue a script, loop until quit or queue drained."""
+    def run(self, script: Optional[str] = None) -> int:
+        """Batch mode: enqueue a script, loop until quit or queue drained.
+        Returns a process exit code: nonzero when any deferred command
+        failed (the pt_test/gate regression contract, VERDICT r2 #6)."""
         cmds = get_cmd_system()
         if script:
             cmds.enqueue(script)
@@ -59,6 +71,7 @@ class Engine:
                 break
             if not cmds.pending() and script is not None:
                 break
+        return 1 if cmds.error_count else 0
 
     def shutdown(self) -> None:
         prof = get_profiler()
@@ -72,15 +85,18 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="pim_tpu headless engine")
     parser.add_argument("--exec", dest="script", default=None,
                         help="command script to run (e.g. 'pt_test -frames 64')")
-    parser.add_argument("--width", type=int, default=256)
-    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--width", type=int, default=None,
+                        help="base render width (default: cvar r_width)")
+    parser.add_argument("--height", type=int, default=None,
+                        help="base render height (default: cvar r_height)")
     parser.add_argument("--frames", type=int, default=None)
     args = parser.parse_args()
 
     engine = Engine(width=args.width, height=args.height, max_frames=args.frames)
     engine.init()
-    engine.run(args.script)
+    rc = engine.run(args.script)
     engine.shutdown()
+    raise SystemExit(rc)
 
 
 if __name__ == "__main__":

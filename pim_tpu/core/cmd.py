@@ -43,6 +43,7 @@ class CmdSystem:
         self._queue: List[List[str]] = []
         self._wait_frames: int = 0
         self.quit_requested: bool = False
+        self.error_count: int = 0  # deferred-statement failures (batch exit code)
         self._register_builtins()
 
     # --- registry ---------------------------------------------------------
@@ -121,7 +122,8 @@ class CmdSystem:
                     self._wait_frames -= 1  # this frame counts as one
                     return
                 continue
-            self._exec_statement(argv)
+            if self._exec_statement(argv) != CmdStat.OK:
+                self.error_count += 1
 
     def pending(self) -> bool:
         return bool(self._queue) or self._wait_frames > 0

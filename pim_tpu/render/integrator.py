@@ -418,13 +418,18 @@ def trace_rays(
         # light at the scatter point), refractive chains carry one.
         if e > 0:
             h_dist_sq = jnp.maximum(hit2.t * hit2.t, EPS)
-            lp2 = light_pdf(at2.rows[F.AREA], jnp.abs(dot(rd2, hit2.ng)),
-                            h_dist_sq)
-            lp2 = lp2 * light_select_pdf_from_rows(
+            lp_area = light_pdf(at2.rows[F.AREA], jnp.abs(dot(rd2, hit2.ng)),
+                                h_dist_sq)
+            lp2 = lp_area * light_select_pdf_from_rows(
                 ls.pdf_rows, ls.active, at2.rows[F.EMIT_IDX].astype(jnp.int32), e
             )
             bp2 = scat.pdf
-            ok_b = (bp2 > EPS) & (lp2 > EPS)
+            # Gate mirrors ref :1891-1906 exactly: the area pdf must be
+            # valid, but the SELECT pdf may be zero (light unreachable by
+            # NEE from this cell) — then PowerHeuristic(bp2, 0) == 1 and
+            # the BSDF sample carries full weight.  Gating on lp2 here
+            # discards that energy (round-2 diffuse parity bias).
+            ok_b = (bp2 > EPS) & (lp_area > EPS)
             w_mis = power_heuristic(bp2, lp2) * ok_b.astype(jnp.float32)
         else:
             w_mis = jnp.ones((n,), jnp.float32)

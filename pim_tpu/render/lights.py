@@ -73,8 +73,18 @@ def light_select(meta: SceneMeta, light_table: jnp.ndarray, grid_lo,
 
 def light_select_pdf_from_rows(pdf_rows, active, emit_of_hit, e: int):
     """Probability that light_select would pick the hit's emissive from the
-    same cell (ref LightSelectPdf :1766-1783); 1.0 when not applicable."""
-    valid = (emit_of_hit >= 0) & active
+    same cell (ref LightSelectPdf :1766-1783).
+
+    Mirrors the reference exactly: 1.0 only when the hit is not in the
+    emissive table (iEmit < 0); otherwise the cell's dist pdf, WHICH MAY BE
+    ZERO (fully occluded per the visibility seeding, or inactive cell —
+    inactive cells have all-zero pdf rows).  A zero here drives the BSDF
+    strategy's power heuristic to weight 1 — NEE cannot sample this light
+    from this cell, so the BSDF sample must carry the full contribution.
+    Returning a positive floor instead silently discards that energy
+    (the round-2 12.8%-dark diffuse bias)."""
+    del active  # kept for call-site compat; zero rows already encode it
+    valid = emit_of_hit >= 0
     pdf = F.select_columns(pdf_rows, jnp.maximum(emit_of_hit, 0)) / jnp.float32(e)
     return jnp.where(valid, pdf, 1.0)
 

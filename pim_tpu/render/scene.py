@@ -512,7 +512,14 @@ def build_scene(
         hi = np.ones(3, np.float32)
     grid = make_grid(lo, hi, cells_per_meter)
 
-    lut = bake_brdf_lut()
+    # One-shot LUT bake sized from r_brdflut_spf: the reference converges
+    # ~spf samples/frame progressively (lighting.c:86-144, default 10/frame
+    # over hundreds of frames); here spf*512 Hammersley samples in one bake
+    # reaches the same converged table (4096+ is visually converged).
+    from pim_tpu.core.cvars import cv_r_brdflut_spf
+
+    lut = bake_brdf_lut(
+        num_samples=max(4096, int(cv_r_brdflut_spf.get()) * 512))
 
     if sky is None:
         sky_arr = jnp.zeros((6, 1, 1, 3), jnp.float32)

@@ -59,7 +59,6 @@ def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
     """Bilinear-wrap fetch; atlas_planes [4, H*W] flat channel planes,
     rec_t [4, Ntex] transposed records (x0, y0, w, h), uv V2 of [N].
     Returns 4 channel arrays [N].  tex_id < 0 -> default (tuple of 4)."""
-    atlas_w = atlas_planes.shape[-1] if False else None  # width passed via rec
     rec = F.fetch_cols(rec_t, jnp.maximum(tex_id, 0)).astype(jnp.int32)  # [5, N]
     x0 = rec[0].astype(jnp.float32)
     y0 = rec[1].astype(jnp.float32)
@@ -68,6 +67,10 @@ def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
     stride = rec[4]  # atlas width replicated per record
 
     def wrap(u):
+        # NOT a true modular wrap: negative uvs are mirrored before frac,
+        # deliberately matching the reference's LinearWrap exactly
+        # (sampler.h:185-190: `u = (u >= 0) ? u : 1 - u; u = frac(u)`),
+        # so e1m1-class assets with negative uvs sample identically.
         u = jnp.where(u >= 0.0, u, 1.0 - u)
         return u - jnp.floor(u)
 

@@ -655,10 +655,64 @@ def pinhole_rays(width, height, eye, fwd, up, fov_y_deg):
     return o, d
 
 
-def render(scene, ro, rd, spp, max_bounces=10, seed=3):
+def trace_brute(scene: OracleScene, ro, rd, rng, max_bounces=10):
+    """Third, independent arbiter estimator: NO NEE/MIS — emission is
+    accumulated at EVERY path vertex.  With `max_bounces` NEE bounces the
+    MIS estimators see emission at vertices 0..max_bounces (the last via
+    NEE), so this loop runs max_bounces+1 vertices.  Shares the BSDF /
+    intersect / RR code above, so it arbitrates the NEE/MIS estimator
+    structure specifically."""
+    n = ro.shape[0]
+    lum = np.zeros((n, 3))
+    atten = np.ones((n, 3))
+    alive = np.ones(n, bool)
+    ro = ro.astype(np.float64).copy()
+    rd = normalize(rd.astype(np.float64))
+
+    for b in range(max_bounces + 1):
+        p = np.clip(avglum(atten), 0.0, 1.0)
+        cont = rng.random(n) < p
+        alive &= cont
+        if not alive.any():
+            break
+        atten = np.where(
+            alive[:, None], atten / np.maximum(p, EPS)[:, None], atten
+        )
+
+        t, tri, w, u, v, ng = intersect(scene, ro, rd, np.full(n, BIG))
+        hit = (t >= 0.0) & alive
+        alive &= hit
+        if not alive.any():
+            break
+        tri_s = np.maximum(tri, 0)
+        backface = dot(ng, rd) > 0.0
+        is_refr = (scene.flags[tri_s] & REFRACTIVE) != 0
+        alive &= ~(backface & ~is_refr)
+
+        surf = get_surface(scene, tri_s, w, u, v, rd, ng)
+        lum += np.where(alive[:, None], surf.emission * atten, 0.0)
+        sky_hit = (scene.flags[tri_s] & SKY) != 0
+        alive &= ~sky_hit
+
+        l, s_atten, s_pdf = scatter_principled(rng, surf, rd)
+        ok = s_pdf > EPS
+        alive &= ok
+        atten = np.where(
+            alive[:, None],
+            atten * s_atten / np.maximum(s_pdf, EPS)[:, None],
+            atten,
+        )
+        ro = surf.p
+        rd = l
+
+    return lum
+
+
+def render(scene, ro, rd, spp, max_bounces=10, seed=3, brute=False):
     """Mean radiance over spp independent samples."""
     rng = np.random.default_rng(seed)
+    fn = trace_brute if brute else trace
     acc = np.zeros((ro.shape[0], 3))
     for _ in range(spp):
-        acc += trace(scene, ro, rd, rng, max_bounces)
+        acc += fn(scene, ro, rd, rng, max_bounces)
     return acc / spp

@@ -1,0 +1,86 @@
+"""Multi-host scaling harness (VERDICT r2 #2; BASELINE scaling row).
+
+Launches tools/scaling_worker.py as N separate OS processes joined via
+`jax.distributed` (gloo collectives over loopback — the same code path a
+real multi-host TPU pod uses, minus ICI).  Weak scaling: each process
+keeps a fixed per-process pixel count, so ideal scaling holds wall time
+constant while global throughput grows linearly.
+
+Efficiency(N) = (paths/s at N procs) / (N * paths/s at 1 proc).
+
+Usage:  python tools/scaling_bench.py [procs ...]   (default: 1 2 4 8)
+Writes SCALING.md at the repo root with the measured table.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BASE_PORT = 7631
+
+
+def run_world(nprocs: int, steps: int = 8) -> dict:
+    env_common = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PIM_COORDINATOR=f"127.0.0.1:{BASE_PORT + nprocs}",
+        PIM_NUM_PROCS=str(nprocs),
+        PIM_SCALE_STEPS=str(steps),
+    )
+    procs = []
+    for rank in range(nprocs):
+        env = dict(env_common, PIM_PROC_ID=str(rank))
+        procs.append(subprocess.Popen(
+            [sys.executable, "tools/scaling_worker.py"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        ))
+    out0, err0 = procs[0].communicate(timeout=900)
+    for p in procs[1:]:
+        p.communicate(timeout=900)
+    for line in out0.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"rank 0 of world {nprocs} printed no result; stderr:\n{err0[-2000:]}")
+
+
+def main():
+    worlds = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    rows = []
+    for n in worlds:
+        t0 = time.time()
+        r = run_world(n)
+        r["launch_s"] = round(time.time() - t0, 1)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    base = rows[0]["mpaths_per_s"] / rows[0]["nprocs"]
+    lines = [
+        "# SCALING — multi-process weak-scaling harness",
+        "",
+        "`jax.distributed` worlds over loopback (gloo), one CPU device per",
+        "process, Cornell 64x64/process, 3 bounces, 8 steps; the same",
+        "process-federation + psum path a TPU pod runs over ICI/DCN.",
+        "Efficiency = mpaths/s / (nprocs * 1-proc mpaths/s).",
+        "",
+        "| procs | global px | wall s | Mpaths/s | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        eff = r["mpaths_per_s"] / (base * r["nprocs"])
+        lines.append(
+            f"| {r['nprocs']} | {r['pixels']} | {r['wall_s']} | "
+            f"{r['mpaths_per_s']:.3f} | {eff * 100:.1f}% |")
+        r["efficiency"] = round(eff, 4)
+    lines.append("")
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING.md")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
