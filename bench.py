@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""Headline benchmark: path-tracing throughput (Mrays/s) on Cornell 512².
+"""Headline benchmark: path-tracing throughput (Mrays/s).
 
-Measures the full progressive-frame wavefront (raygen -> RR -> extend ray ->
-NEE ray -> shade -> accumulate) on the default device (the TPU chip under
-the driver; CPU when forced), counting every ray actually cast.
+Two configs (BASELINE.md rows 1 and 3/4):
+  * Cornell 512², 10 bounces — the headline metric (dense Pallas kernels).
+  * e1m1 512² — the ~81k-tri generated map through the full end-to-end
+    frame: glTF import, textured atlas materials, two-level cluster-BVH
+    Pallas intersect, sky cubemap (skylight panels), NEE light grid,
+    histogram autoexposure.  Ref analog: CmdLoadMap + pt_test
+    (render_system.c:1348-1464).
+
+Measures the full progressive-frame wavefront (raygen -> RR -> extend ray
+-> NEE ray -> shade -> accumulate [-> exposure]) on the default device,
+counting every ray actually cast.
 
 The reference (Vethanis/pim) publishes no numbers (BASELINE.md); the
 `vs_baseline` denominator is a documented estimate of the reference's
-CPU/Embree class on this scene: ~30 Mrays/s on a modern 16-thread AVX2
-desktop (Embree pathtracer-class throughput at 1 spp progressive).
+CPU/Embree class on the Cornell scene: ~30 Mrays/s on a modern 16-thread
+AVX2 desktop (Embree pathtracer-class throughput at 1 spp progressive).
+The driver contract is ONE JSON line: the Cornell metric is primary, the
+e1m1 numbers ride in "extra".
 """
 
 from __future__ import annotations
@@ -23,7 +33,29 @@ WARMUP = 3
 ITERS = 10
 
 
-def main() -> None:
+def _measure(step, arrays, lights, ca, iters=ITERS, warmup=WARMUP):
+    import jax
+    import jax.numpy as jnp
+
+    for i in range(warmup):
+        color, rays = step(arrays, lights, ca, jnp.uint32(i))
+    color.block_until_ready()
+
+    # dispatch all iterations asynchronously and sync ONCE — a per-step
+    # float(rays) sync would serialize host round-trips into the device
+    # timeline (measured: +35 ms/step through the axon tunnel)
+    ray_handles = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        color, rays = step(arrays, lights, ca, jnp.uint32(warmup + i))
+        ray_handles.append(rays)
+    color.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    total_rays = sum(float(r) for r in ray_handles)
+    return total_rays / elapsed / 1e6, elapsed / iters
+
+
+def _bench_cornell():
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +72,6 @@ def main() -> None:
     cam = Camera(position=np.array([-4, 0, 4], np.float32))
     cam.look_at([0, -1, 0])
     ca = camera_arrays(cam, DofInfo(autofocus=False), WIDTH, HEIGHT)
-
     n = WIDTH * HEIGHT
 
     @jax.jit
@@ -50,30 +81,83 @@ def main() -> None:
         res = trace_rays(meta, arrays, lights, ro, rd, state, MAX_BOUNCES)
         return res.color, res.rays_traced
 
-    for i in range(WARMUP):
-        color, rays = step(arrays, lights, ca, jnp.uint32(i))
-    color.block_until_ready()
+    mrays, step_s = _measure(step, arrays, lights, ca)
+    return mrays, step_s
 
-    # dispatch all iterations asynchronously and sync ONCE — a per-step
-    # float(rays) sync would serialize host round-trips into the device
-    # timeline (measured: +35 ms/step through the axon tunnel)
-    ray_handles = []
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        color, rays = step(arrays, lights, ca, jnp.uint32(WARMUP + i))
-        ray_handles.append(rays)
-    color.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    total_rays = sum(float(r) for r in ray_handles)
 
-    mrays = total_rays / elapsed / 1e6
+def _bench_e1m1():
+    """Full frame on the generated map: textured cluster backend + sky +
+    autoexposure.  Regenerates the asset if data/e1m1 is absent."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pim_tpu.core import rng
+    from pim_tpu.geom.gltf import load_gltf_scene
+    from pim_tpu.render.camera import Camera, DofInfo, camera_arrays, generate_primary_rays
+    from pim_tpu.render.exposure import (
+        ExposureParams, exposure_pass, make_exposure_state,
+    )
+    from pim_tpu.render.integrator import trace_rays
+    from pim_tpu.render.scene import build_scene
+    from pim_tpu.render.sky import bake_sky_cubemap, earth_atmosphere
+
+    path = os.path.join("data", "e1m1", "glTF", "e1m1.gltf")
+    if not os.path.exists(path):
+        from pim_tpu.geom.maps import export_map
+
+        path = export_map("e1m1", base_dir="data", rooms=(3, 3), seed=1)
+    ents, pool = load_gltf_scene(path)
+
+    sun_dir = np.array([0.35, 0.82, 0.45], np.float32)
+    sun_dir /= np.linalg.norm(sun_dir)
+    sky = np.asarray(bake_sky_cubemap(earth_atmosphere(), sun_dir, 3800.0, 32, 8))
+    meta, arrays, lights = build_scene(ents, pool, backend="auto", sky=sky)
+
+    # inside the (0,0) room, under a skylight, looking across the map
+    cam = Camera(position=np.array([-2.5, 1.7, -2.5], np.float32))
+    cam.look_at([6.0, 1.0, 6.0])
+    ca = camera_arrays(cam, DofInfo(autofocus=False), WIDTH, HEIGHT)
+    n = WIDTH * HEIGHT
+    exp_params = ExposureParams.from_cvars()
+
+    @jax.jit
+    def step(arrays, lights, cam, sample_idx):
+        state = rng.make_state(jnp.arange(n, dtype=jnp.uint32), sample_idx)
+        state, ro, rd = generate_primary_rays(cam, WIDTH, HEIGHT, state)
+        res = trace_rays(meta, arrays, lights, ro, rd, state, MAX_BOUNCES)
+        exp = exposure_pass(res.color, exp_params, make_exposure_state(),
+                            jnp.float32(1 / 60))
+        return res.color, res.rays_traced + 0.0 * exp.exposure
+
+    mrays, step_s = _measure(step, arrays, lights, ca)
+    tri_count = meta.tri_count
+    return mrays, step_s, tri_count, meta.backend
+
+
+def main() -> None:
+    cornell_mrays, cornell_step = _bench_cornell()
+    try:
+        e1m1_mrays, e1m1_step, e1m1_tris, e1m1_backend = _bench_e1m1()
+        extra = {
+            "e1m1_mrays_per_s": round(e1m1_mrays, 2),
+            "e1m1_step_ms": round(e1m1_step * 1e3, 1),
+            "e1m1_tris": int(e1m1_tris),
+            "e1m1_backend": str(e1m1_backend),
+        }
+    except Exception as ex:  # the headline metric must still report
+        extra = {"e1m1_error": repr(ex)[:200]}
+
     print(
         json.dumps(
             {
                 "metric": "cornell512_pathtrace_throughput",
-                "value": round(mrays, 2),
+                "value": round(cornell_mrays, 2),
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+                "vs_baseline": round(cornell_mrays / BASELINE_MRAYS, 3),
+                "extra": extra,
             }
         )
     )

@@ -237,6 +237,15 @@ def build_map_scene(
         rome_tex=pool.add_flat((0.9, 1.0, 0.0, 0.45)),
         flags=MatFlag.EMISSIVE,
     )
+    # Quake-style sky brush (ref MatFlag_Sky, material.h:12-20 + the `sky`
+    # name token in gltf import): a SKY-flagged panel terminates paths
+    # with sky-cubemap radiance, acting as a skylight window — BASELINE
+    # config #4 (e1m1 + sky + autoexposure) lights half the rooms this way
+    sky_mat = Material(
+        albedo_tex=pool.add_flat((1.0, 1.0, 1.0, 1.0)),
+        rome_tex=pool.add_flat((1.0, 1.0, 0.0, 0.0)),
+        flags=MatFlag.SKY,
+    )
 
     for i in range(rx):
         for j in range(rz):
@@ -247,6 +256,13 @@ def build_map_scene(
                 (1.6, 0.1, 1.6),
                 light_mat,
             )
+            if (i + j) % 2 == 0:
+                add_box(
+                    f"Map_sky_light_{i}_{j}",
+                    (ox, HEIGHT - 0.02, oz + ROOM * 0.28),
+                    (2.4, 0.04, 2.4),
+                    sky_mat,
+                )
             for px, pz in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
                 add_box(
                     f"Map_Pillar_{i}_{j}_{px}_{pz}",

@@ -11,11 +11,15 @@ only ever sees the [F, N] result.
   idx     [1, N]  i32, blocked [1, R]
   out     [F, N]  f32, blocked [F, R]
 
-Inside a block: oh[t, r] = (t == idx[r]) as f32 — a [T, R] VMEM tensor —
-then one MXU dot `table_t @ oh`.  The one-hot operand is exact in any
-dtype (entries are 0/1), so only the table operand needs f32-precise
-passes; `preferred_element_type=f32` with HIGHEST keeps stored values
-bit-exact (required: vertex positions ride through this path).
+Inside a block: oh[t, r] = (t == idx[r]) as bf16 — a [T, R] VMEM tensor —
+then MXU dots `table_t @ oh`.  Exactness without f32-HIGHEST passes
+(which cost 6 MXU passes; measured 265 us for the [48, N] fetch at 512²):
+the table is pre-split into three bf16 terms hi + mid + lo == f32 exactly
+(8+8+8 mantissa bits cover f32's 24; each residual subtraction is exact),
+and because the one-hot makes every product x*1 or x*0 with exactly one
+nonzero per output, the three bf16 dots sum to the stored f32 value
+BIT-EXACTLY (required: vertex positions ride through this path) in 3 MXU
+passes — 2x fewer passes and half the operand bandwidth of HIGHEST.
 
 Used on the TPU backend for every per-hit attribute fetch and the light
 grid cdf/pdf fetch (ref analog: the pointer chases in GetSurface /
@@ -37,25 +41,22 @@ GATHER_RAY_BLOCK = 2048
 GATHER_MAX_T = 4096
 
 
-def _gather_kernel(table_ref, idx_ref, out_ref, *, t: int, tchunk: int):
+def _gather_kernel(table_ref, idx_ref, out_ref, *, t: int, tchunk: int,
+                   f: int):
+    """table_ref: [3*F, T] bf16 (hi/mid/lo stacked); see module doc."""
     idx = idx_ref[0:1, :]  # [1, R] i32
     r = idx.shape[1]
 
     def chunk(c, acc):
         ds = pl.ds(pl.multiple_of(c * tchunk, tchunk), tchunk)
-        sub = table_ref[:, ds]  # [F, TC]
         iota = jax.lax.broadcasted_iota(jnp.int32, (tchunk, r), 0) + c * tchunk
-        oh = (iota == idx).astype(jnp.float32)  # [TC, R]
-        # HIGHEST keeps fetched values bit-exact (vertex positions ride
-        # this path; Mosaic rejects the 2-pass HIGH that would also do)
-        return acc + jnp.dot(
-            sub, oh,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        oh = (iota == idx).astype(jnp.bfloat16)  # [TC, R]
+        for part in range(3):
+            sub = table_ref[part * f : (part + 1) * f, ds]  # [F, TC] bf16
+            acc = acc + jnp.dot(sub, oh, preferred_element_type=jnp.float32)
+        return acc
 
     nchunks = t // tchunk
-    f = out_ref.shape[0]
     if nchunks == 1:
         out_ref[:, :] = chunk(0, jnp.zeros((f, r), jnp.float32))
     else:
@@ -87,14 +88,22 @@ def gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray,
 
     tchunk = min(tpad, 512)
 
+    # exact 3-term bf16 split (see module doc): hi+mid+lo == f32 bit-exact
+    hi = table_t.astype(jnp.bfloat16)
+    r1 = table_t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    table3 = jnp.concatenate([hi, mid, lo], axis=0)  # [3*fpad, tpad] bf16
+
     # VMEM-aware ray block: table + output block + in-VMEM one-hot must fit
     # the ~16 MB scoped budget (tall fused light tables at map scale push
-    # F past 1k; a fixed 2048-ray block then overflows)
+    # F past 1k; a fixed 2048-ray block then overflows).  bf16 words count
+    # as half an f32 word.
     budget = (10 << 20) // 4  # f32 words; out blocks are double-buffered
     rblock = GATHER_RAY_BLOCK
 
     def vmem_words(rb):
-        return fpad * tpad + (2 * fpad + tchunk) * rb
+        return 3 * fpad * tpad // 2 + (2 * fpad + tchunk) * rb
 
     while rblock > 128 and vmem_words(rblock) > budget:
         rblock //= 2
@@ -108,17 +117,18 @@ def gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray,
         idx2 = idx2[:, :n]
         idx2 = jnp.pad(idx2, ((0, 0), (0, npad - n)), constant_values=-1)
 
-    kernel = functools.partial(_gather_kernel, t=tpad, tchunk=tchunk)
+    kernel = functools.partial(_gather_kernel, t=tpad, tchunk=tchunk, f=fpad)
     out = pl.pallas_call(
         kernel,
         grid=(npad // rblock,),
         in_specs=[
-            pl.BlockSpec((fpad, tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * fpad, tpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rblock), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((fpad, rblock), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((fpad, npad), jnp.float32),
         interpret=interpret,
-    )(table_t, idx2)
+    )(table3, idx2)
     return out[:f, :n]

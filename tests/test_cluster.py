@@ -121,6 +121,7 @@ def test_empty_and_tiny_scene():
     assert (np.asarray(tri1) == 0).all()
 
 
+@pytest.mark.slow
 def test_scene_backend_cluster_routes():
     """build_scene(backend='cluster') produces a scene whose intersect
     matches the brute backend on the cornell box."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pim_tpu.render import cubemap as cmaps
 
@@ -23,6 +24,7 @@ def test_calc_dirs_unit_and_face_aligned():
     assert np.all(face0[3:5, 3:5, 0] > 0.55)
 
 
+@pytest.mark.slow
 def test_prefilter_constant_env_is_identity():
     # a constant cubemap must prefilter to the same constant at every mip
     cm = cmaps.cubemap_new(8)
@@ -48,6 +50,7 @@ def test_read_convolved_trilinear_between_mips():
     np.testing.assert_allclose(out0, 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_progressive_bake_converges_on_cornell():
     from pim_tpu.geom.cornell import build_cornell_box
     from pim_tpu.render.scene import build_scene

@@ -111,6 +111,7 @@ def test_map_normal_map_roundtrip(tmp_path):
         np.testing.assert_allclose(img[..., :2], img2[..., :2], atol=0.02)
 
 
+@pytest.mark.slow
 def test_map_renders_end_to_end(tmp_path):
     """Full pipeline: generate -> export -> import -> build_scene -> trace."""
     import jax.numpy as jnp

@@ -146,6 +146,7 @@ def test_grad_camera(cornell_setup):
     assert abs(ad) > 1e-6, "camera gradient must be nonzero"
 
 
+@pytest.mark.slow
 def test_grad_sun_dir(sky_setup):
     params, loss, args = sky_setup
     v = _zero_like(params)
@@ -154,6 +155,7 @@ def test_grad_sun_dir(sky_setup):
     assert abs(ad) > 1e-8, "sun direction gradient must be nonzero"
 
 
+@pytest.mark.slow
 def test_grad_sun_luminance(sky_setup):
     params, loss, args = sky_setup
     v = _zero_like(params)
@@ -162,6 +164,7 @@ def test_grad_sun_luminance(sky_setup):
     assert abs(ad) > 1e-8, "sun luminance gradient must be nonzero"
 
 
+@pytest.mark.slow
 def test_inverse_rendering_converges(cornell_setup):
     """End-to-end: recover perturbed material albedos by adam descent
     against a target image rendered with the true parameters."""

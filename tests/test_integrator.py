@@ -58,6 +58,7 @@ def test_backends_agree():
     np.testing.assert_allclose(cb.mean(), cv_.mean(), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_progressive_convergence(cornell):
     """Monte-Carlo contract: averaging k independent samples divides the
     per-pixel variance by ~k.  Collect 16 one-sample images, compare the

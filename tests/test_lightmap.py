@@ -33,6 +33,7 @@ def test_pack_embeds_texels(cornell):
     np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_progressive_bake_accumulates(cornell):
     meta, arrays, lights, flat = cornell
     pack = lm.pack_lightmaps(flat.positions, flat.normals,

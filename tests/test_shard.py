@@ -54,6 +54,7 @@ def test_sharded_render_matches_unsharded(cornell):
     np.testing.assert_array_equal(np.asarray(live), np.asarray(ref.live))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_learns(cornell):
     from pim_tpu.render.diff import extract_params
 

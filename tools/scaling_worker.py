@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     base_w = int(os.environ.get("PIM_SCALE_W", "64"))
