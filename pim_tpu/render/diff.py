@@ -90,6 +90,26 @@ def apply_params(meta: SceneMeta, arrays: SceneArrays, cam: CameraArrays,
     tt = tt.at[F.ROME].set(jnp.where(rom_flat[None, :], rom_rows, tt[F.ROME]))
     arrays = arrays._replace(tri_table=tt, atlas_planes=params.atlas_planes)
 
+    # The NEE side of the estimator reads emission from the compact
+    # emissive table, not the tri table — without this graft the dominant
+    # (light-strategy) share of the emission gradient is silently
+    # stop-gradded and d(image)/d(emission) collapses to the small
+    # BSDF-strategy sliver (caught by test_grad_emission).
+    if meta.emissive_count > 0:
+        from pim_tpu.render import lights as L
+
+        et = arrays.emissive_table
+        mat_e = mat_ids[et[L.E_TRI].astype(jnp.int32)]         # [E]
+        alb_e = F.fetch_cols(params.mat_albedo.T, mat_e)       # [4, E]
+        rome_e = F.fetch_cols(params.mat_rome.T, mat_e)        # [4, E]
+        a_flat_e = et[L.E_ALBEDO_TEX] < 0.0
+        r_flat_e = et[L.E_ROME_TEX] < 0.0
+        et = et.at[L.E_ALBEDO].set(
+            jnp.where(a_flat_e[None, :], alb_e[0:3], et[L.E_ALBEDO]))
+        et = et.at[L.E_EMIT_A].set(
+            jnp.where(r_flat_e, rome_e[3], et[L.E_EMIT_A]))
+        arrays = arrays._replace(emissive_table=et)
+
     if meta.has_sky:
         from pim_tpu.render.sky import bake_sky_cubemap, earth_atmosphere
 

@@ -309,8 +309,11 @@ def trace_rays(
     light_table = make_light_table(lights, arrays.cell_active_f) if e > 0 else None
 
     if meta.has_refractive:
-        def thickness_fn(p, l):
-            h = scene_intersect(meta, arrays, p, l, 0.0, RCP_EPS)
+        def thickness_fn(p, l, mask):
+            # masked lanes carry t_far = 0: the intersect kernels skip
+            # whole blocks with no refracting lanes (glass is sparse)
+            t_far = jnp.where(mask, RCP_EPS, 0.0)
+            h = scene_intersect(meta, arrays, p, l, 0.0, t_far)
             return h.t
     else:
         thickness_fn = None
@@ -421,7 +424,7 @@ def trace_rays(
             lp_area = light_pdf(at2.rows[F.AREA], jnp.abs(dot(rd2, hit2.ng)),
                                 h_dist_sq)
             lp2 = lp_area * light_select_pdf_from_rows(
-                ls.pdf_rows, ls.active, at2.rows[F.EMIT_IDX].astype(jnp.int32), e
+                ls.pdf_rows, ls.id_rows, at2.rows[F.EMIT_IDX].astype(jnp.int32)
             )
             bp2 = scat.pdf
             # Gate mirrors ref :1891-1906 exactly: the area pdf must be

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from pim_tpu.geom.material import MatFlag
@@ -37,18 +38,51 @@ from pim_tpu.render.scene import SceneArrays, SceneMeta, scene_occluded
 from pim_tpu.render.surface import Surface
 
 
+# Per-cell compacted light list size.  The fused table holds only the K
+# highest-pdf lights of each cell, renormalized: at map scale (E in the
+# hundreds) fetching all E pdf rows per lane is a [2E+2, N] multi-GB
+# tensor per bounce (measured 3.8 s/step at E=600, 512²), while the
+# visibility-seeded per-cell distributions are ~K-sparse anyway.  The
+# truncation is UNBIASED: a light outside the cell's top-K has select
+# pdf 0, so the BSDF-strategy power heuristic carries its full
+# contribution (the same zero-select-pdf path as ref EstimateDirect
+# :1891-1906 — see light_select_pdf_from_rows).
+LIGHT_TOP_K = 32
+
+
+def light_k(e: int) -> int:
+    return min(e, LIGHT_TOP_K)
+
+
 def make_light_table(lights, cell_active_f) -> jnp.ndarray:
-    """Fuse the per-cell light-selection state into one [2E+2, G] table:
-    rows [0 : E+1] cdf, [E+1 : 2E+1] pdf, [2E+1] active flag.  Rebuilt once
-    per trace call (the distributions adapt every frame)."""
-    return jnp.concatenate([lights.cdf.T, lights.pdf.T, cell_active_f], axis=0)
+    """Fuse the per-cell light-selection state into one [3K+2, G] table:
+    rows [0 : K+1] cdf, [K+1 : 2K+1] discrete pdf, [2K+1 : 3K+1] emissive
+    ids (f32-exact ints), [3K+1] active flag.  Rebuilt once per trace call
+    (the distributions adapt every frame); K = light_k(E).
+
+    lights.pdf rows follow the Dist1D convention (normalized to sum E per
+    active row, discrete prob = pdf/E); the compacted q rows below are
+    plain discrete probabilities summing to <= 1."""
+    e = lights.pdf.shape[1]
+    k = light_k(e)
+    vals, ids = jax.lax.top_k(lights.pdf, k)           # [G, K]
+    total = jnp.sum(vals, axis=-1, keepdims=True)      # [G, 1]
+    q = vals / jnp.maximum(total, EPS)                 # zero rows stay zero
+    g = q.shape[0]
+    cdf = jnp.concatenate(
+        [jnp.zeros((g, 1), q.dtype), jnp.cumsum(q, axis=-1)], axis=-1
+    )                                                  # [G, K+1]
+    return jnp.concatenate(
+        [cdf.T, q.T, ids.astype(jnp.float32).T, cell_active_f], axis=0
+    )
 
 
 class LightSelection(NamedTuple):
     emit: jnp.ndarray        # [N] i32 selected emissive index
     select_pdf: jnp.ndarray  # [N] discrete selection pdf (uniform-u mapped)
     ok: jnp.ndarray          # [N] bool
-    pdf_rows: jnp.ndarray    # [E, N] the cell's full pdf rows (for MIS)
+    pdf_rows: jnp.ndarray    # [K, N] the cell's compacted discrete pdfs
+    id_rows: jnp.ndarray     # [K, N] i32 the cell's compacted emissive ids
     active: jnp.ndarray      # [N] bool cell-active flags
 
 
@@ -56,36 +90,40 @@ def light_select(meta: SceneMeta, light_table: jnp.ndarray, grid_lo,
                  position: V3, u) -> LightSelection:
     """Pick an emissive triangle from the position's cell distribution
     (ref LightSelect :1735-1764) via one fused table gather."""
-    e = meta.emissive_count
+    k = light_k(meta.emissive_count)
     grid = meta.grid_spec(grid_lo)
     cell = grid_index_soa(grid, position)
-    rows = F.fetch_cols(light_table, cell)               # [2E+2, N]
-    cdf_rows = rows[0 : e + 1]
-    pdf_rows = rows[e + 1 : 2 * e + 1]
-    active = rows[2 * e + 1] > 0.5
-    emit = jnp.sum((cdf_rows <= u[None, :]).astype(jnp.int32), axis=0) - 1
-    emit = jnp.clip(emit, 0, e - 1)
-    pdf = F.select_columns(pdf_rows, emit) / jnp.float32(e)
+    rows = F.fetch_cols(light_table, cell)               # [3K+2, N]
+    cdf_rows = rows[0 : k + 1]
+    pdf_rows = rows[k + 1 : 2 * k + 1]
+    id_rows = rows[2 * k + 1 : 3 * k + 1].astype(jnp.int32)
+    active = rows[3 * k + 1] > 0.5
+    slot = jnp.sum((cdf_rows <= u[None, :]).astype(jnp.int32), axis=0) - 1
+    slot = jnp.clip(slot, 0, k - 1)
+    pdf = F.select_columns(pdf_rows, slot)
+    emit = jnp.sum(
+        jnp.where(jnp.arange(k, dtype=jnp.int32)[:, None] == slot[None, :],
+                  id_rows, 0), axis=0)
     ok = active & (pdf > EPS)
     return LightSelection(emit=emit, select_pdf=pdf, ok=ok,
-                          pdf_rows=pdf_rows, active=active)
+                          pdf_rows=pdf_rows, id_rows=id_rows, active=active)
 
 
-def light_select_pdf_from_rows(pdf_rows, active, emit_of_hit, e: int):
+def light_select_pdf_from_rows(pdf_rows, id_rows, emit_of_hit):
     """Probability that light_select would pick the hit's emissive from the
     same cell (ref LightSelectPdf :1766-1783).
 
     Mirrors the reference exactly: 1.0 only when the hit is not in the
-    emissive table (iEmit < 0); otherwise the cell's dist pdf, WHICH MAY BE
-    ZERO (fully occluded per the visibility seeding, or inactive cell —
-    inactive cells have all-zero pdf rows).  A zero here drives the BSDF
+    emissive table (iEmit < 0); otherwise the cell's compacted-dist pdf,
+    WHICH MAY BE ZERO (fully occluded per the visibility seeding, inactive
+    cell, or outside the cell's top-K list).  A zero here drives the BSDF
     strategy's power heuristic to weight 1 — NEE cannot sample this light
     from this cell, so the BSDF sample must carry the full contribution.
     Returning a positive floor instead silently discards that energy
     (the round-2 12.8%-dark diffuse bias)."""
-    del active  # kept for call-site compat; zero rows already encode it
     valid = emit_of_hit >= 0
-    pdf = F.select_columns(pdf_rows, jnp.maximum(emit_of_hit, 0)) / jnp.float32(e)
+    match = id_rows == jnp.maximum(emit_of_hit, 0)[None, :]
+    pdf = jnp.sum(jnp.where(match, pdf_rows, 0.0), axis=0)
     return jnp.where(valid, pdf, 1.0)
 
 
@@ -129,7 +167,8 @@ class LightSample(NamedTuple):
     lp: jnp.ndarray          # [N] full light-strategy pdf (area x select)
     tri: jnp.ndarray         # [N] i32 source triangle id of the light
     ok: jnp.ndarray          # [N] bool
-    pdf_rows: jnp.ndarray    # [E, N]
+    pdf_rows: jnp.ndarray    # [K, N] compacted discrete pdfs
+    id_rows: jnp.ndarray     # [K, N] i32 compacted emissive ids
     active: jnp.ndarray      # [N] bool
 
 
@@ -192,7 +231,8 @@ def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
     lp = light_pdf(area, cos_theta, dist_sq) * sel.select_pdf
     return LightSample(
         dir=rd, dist=dist, emission=emission, lp=lp, tri=tri,
-        ok=sel.ok, pdf_rows=sel.pdf_rows, active=sel.active,
+        ok=sel.ok, pdf_rows=sel.pdf_rows, id_rows=sel.id_rows,
+        active=sel.active,
     )
 
 

@@ -301,9 +301,16 @@ def _min_dist_to_tris(positions: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarra
     tri_count = positions.shape[0] // 3
     tris = positions[: tri_count * 3].reshape(tri_count, 3, 3)
 
+    from pim_tpu.math.geometry import sd_triangle
+
+    p3 = V3(points[:, 0, None], points[:, 1, None], points[:, 2, None])
+
     def dist_chunk(carry, tri_chunk):
-        a, b, c = tri_chunk[:, 0], tri_chunk[:, 1], tri_chunk[:, 2]
-        d = _point_tri_dist(points[:, None, :], a[None], b[None], c[None])
+        def vert(i):
+            return V3(tri_chunk[None, :, i, 0], tri_chunk[None, :, i, 1],
+                      tri_chunk[None, :, i, 2])
+
+        d = sd_triangle(vert(0), vert(1), vert(2), p3)  # [G, C]
         return jnp.minimum(carry, jnp.min(d, axis=-1)), None
 
     chunk = 128
@@ -315,49 +322,6 @@ def _min_dist_to_tris(positions: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarra
     init = jnp.full((points.shape[0],), jnp.inf, jnp.float32)
     out, _ = jax.lax.scan(dist_chunk, init, tris)
     return out
-
-
-def _point_tri_dist(p, a, b, c):
-    """Unsigned point-triangle distance, batched ([..., 3] operands)."""
-    ab = b - a
-    ac = c - a
-    ap = p - a
-    d1 = jnp.sum(ab * ap, -1)
-    d2 = jnp.sum(ac * ap, -1)
-    bp = p - b
-    d3 = jnp.sum(ab * bp, -1)
-    d4 = jnp.sum(ac * bp, -1)
-    cp = p - c
-    d5 = jnp.sum(ab * cp, -1)
-    d6 = jnp.sum(ac * cp, -1)
-
-    va = d3 * d6 - d5 * d4
-    vb = d5 * d2 - d1 * d6
-    vc = d1 * d4 - d3 * d2
-
-    denom_bc = jnp.maximum((d4 - d3) + (d5 - d6), 1e-12)
-    w_bc = jnp.clip((d4 - d3) / denom_bc, 0.0, 1.0)
-    cand_ab = a + jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-12), 0.0, 1.0)[..., None] * ab
-    cand_ac = a + jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-12), 0.0, 1.0)[..., None] * ac
-    cand_bc = b + w_bc[..., None] * (c - b)
-
-    denom = jnp.maximum(va + vb + vc, 1e-12)
-    v = vb / denom
-    w = vc / denom
-    interior = a + v[..., None] * ab + w[..., None] * ac
-    inside = (va >= 0) & (vb >= 0) & (vc >= 0)
-
-    d_best = jnp.where(
-        inside,
-        jnp.sum((p - interior) ** 2, -1),
-        jnp.minimum(
-            jnp.minimum(
-                jnp.sum((p - cand_ab) ** 2, -1), jnp.sum((p - cand_ac) ** 2, -1)
-            ),
-            jnp.sum((p - cand_bc) ** 2, -1),
-        ),
-    )
-    return jnp.sqrt(d_best)
 
 
 def bake_light_grid(meta: SceneMeta, arrays: SceneArrays) -> Tuple[jnp.ndarray, LightState]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from pim_tpu.geom.material import MatFlag
@@ -55,13 +56,36 @@ def fix_shading_normal(m: V3, n: V3) -> V3:
     return where3(below, reflect(n, m), n)
 
 
+def _gather_corners(plane, idx4):
+    """plane [M] f32, idx4 [4, N] i32 -> [4, N]: the four bilinear corner
+    texels of one channel in ONE lax.gather.
+
+    Pinned with optimization_barriers: inside the bounce scan XLA
+    otherwise fuses the gather with its consumers into a serialized loop
+    fusion (measured 2.25 ms vs ~28 us standalone at 512² — the same
+    pathology integrator._permute_carry documents).  Exotic wide-slice
+    gathers are deliberately avoided: an 8-wide slice with a leading
+    offset dim FAULTS the TPU at 512², and with a trailing offset dim it
+    hangs XLA compilation (both observed on v5e); the plain element
+    gather with a [4, N] batch is the fast, proven construct."""
+    plane, idx4 = jax.lax.optimization_barrier((plane, idx4))
+    out = plane[idx4]
+    return jax.lax.optimization_barrier(out)
+
+
 def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
     """Bilinear-wrap fetch; atlas_planes [4, H*W] flat channel planes,
-    rec_t [4, Ntex] transposed records (x0, y0, w, h), uv V2 of [N].
-    Returns 4 channel arrays [N].  tex_id < 0 -> default (tuple of 4)."""
+    rec_t [5, Ntex] transposed records (x0, y0, w, h, stride), uv V2 of [N].
+    Returns 4 channel arrays [N].  tex_id < 0 -> default (tuple of 4).
+
+    Fetch strategy (measured on e1m1 512²: naive per-channel per-corner
+    gathers fused into the scan cost ~2.25 ms EACH): one barrier-pinned
+    [4, N] batched gather per channel fetches all four bilinear corners
+    (~28 us standalone) — see _gather_corners for the pathologies this
+    dodges."""
     rec = F.fetch_cols(rec_t, jnp.maximum(tex_id, 0)).astype(jnp.int32)  # [5, N]
-    x0 = rec[0].astype(jnp.float32)
-    y0 = rec[1].astype(jnp.float32)
+    x0 = rec[0]
+    y0 = rec[1]
     w = rec[2]
     h = rec[3]
     stride = rec[4]  # atlas width replicated per record
@@ -85,19 +109,16 @@ def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
     bx = jnp.minimum(ax + 1, w - 1)
     by = jnp.minimum(ay + 1, h - 1)
 
-    i00 = (y0.astype(jnp.int32) + ay) * stride + x0.astype(jnp.int32) + ax
-    i10 = (y0.astype(jnp.int32) + ay) * stride + x0.astype(jnp.int32) + bx
-    i01 = (y0.astype(jnp.int32) + by) * stride + x0.astype(jnp.int32) + ax
-    i11 = (y0.astype(jnp.int32) + by) * stride + x0.astype(jnp.int32) + bx
+    i00 = (y0 + ay) * stride + x0 + ax
+    i10 = (y0 + ay) * stride + x0 + bx
+    i01 = (y0 + by) * stride + x0 + ax
+    i11 = (y0 + by) * stride + x0 + bx
+    idx4 = jnp.stack([i00, i10, i01, i11], axis=0)  # [4, N]
 
     missing = tex_id < 0
     out = []
     for c in range(4):
-        plane = atlas_planes[c]
-        t00 = plane[i00]
-        t10 = plane[i10]
-        t01 = plane[i01]
-        t11 = plane[i11]
+        t00, t10, t01, t11 = _gather_corners(atlas_planes[c], idx4)
         top = t00 + (t10 - t00) * tx
         bot = t01 + (t11 - t01) * tx
         val = top + (bot - top) * ty

@@ -32,18 +32,39 @@ def _tree_axpy(p, v, eps):
     return jax.tree.map(lambda a, b: a + eps * b, p, v)
 
 
-def _check_directional(loss, params, args, v, eps, rtol, atol=1e-6):
-    """grad·v vs central FD along v."""
+_EPS_LADDER = (3e-3, 1e-3, 3e-4, 1e-4, 3e-5, 1e-5)
+
+
+def _check_directional(loss, params, args, v, eps=None, rtol=0.05, atol=1e-6):
+    """grad·v vs central FD along v, over an eps ladder.
+
+    At a FIXED RNG seed the estimator is piecewise smooth in the
+    parameters: between visibility/sampling kinks, central FD equals the
+    AD derivative exactly (up to f32 roundoff).  A single hand-tuned eps
+    is fragile — whether a kink lands inside [p-eps v, p+eps v] depends on
+    the seed and any change to the sample mapping.  So FD is evaluated on
+    a ladder; the check passes if ANY eps agrees with AD within rtol
+    (kink-free and above the roundoff floor).  A wrong AD fails every
+    rung; a kink or roundoff only poisons some rungs.  On failure the
+    whole sweep is printed."""
     g = jax.grad(lambda p: loss(p, *args)[0])(params)
     ad = sum(
         float(jnp.sum(a * b))
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(v))
     )
-    lp = float(loss(_tree_axpy(params, v, eps), *args)[0])
-    lm = float(loss(_tree_axpy(params, v, -eps), *args)[0])
-    fd = (lp - lm) / (2.0 * eps)
-    np.testing.assert_allclose(ad, fd, rtol=rtol, atol=atol)
-    return ad, fd
+    ladder = (eps,) if eps is not None else _EPS_LADDER
+    sweep = []
+    for e in ladder:
+        lp = float(loss(_tree_axpy(params, v, e), *args)[0])
+        lm = float(loss(_tree_axpy(params, v, -e), *args)[0])
+        fd = (lp - lm) / (2.0 * e)
+        sweep.append((e, fd))
+        if abs(fd - ad) <= rtol * abs(ad) + atol:
+            return ad, fd
+    raise AssertionError(
+        f"AD {ad:+.6g} matched no FD rung (rtol {rtol}): "
+        + ", ".join(f"eps={e:g}: fd={fd:+.6g}" for e, fd in sweep)
+    )
 
 
 def _zero_like(params: DiffParams) -> DiffParams:
@@ -111,7 +132,7 @@ def test_grad_albedo(cornell_setup):
     v = _zero_like(params)
     d = jnp.zeros_like(params.mat_albedo).at[:, :3].set(1.0)
     v = v._replace(mat_albedo=d)
-    ad, fd = _check_directional(loss, params, args, v, eps=2e-3, rtol=2e-2)
+    ad, fd = _check_directional(loss, params, args, v, rtol=2e-2)
     assert abs(ad) > 1e-6, "albedo gradient must be nonzero"
 
 
@@ -120,12 +141,10 @@ def test_grad_roughness(cornell_setup):
     v = _zero_like(params)
     d = jnp.zeros_like(params.mat_rome).at[:, 0].set(1.0)  # roughness channel
     v = v._replace(mat_rome=d)
-    # small eps: roughness moves the sampled GGX direction, so a large FD
-    # step crosses visibility discontinuities the interior AD gradient
-    # (correctly) does not see; FD converges to AD as eps -> 0 (measured
-    # sweep: eps 5e-4 straddles a kink at -0.088, 1e-4 gives -0.0173 vs
-    # AD -0.0177; below ~1e-5 f32 roundoff dominates).
-    ad, fd = _check_directional(loss, params, args, v, eps=1e-4, rtol=8e-2)
+    # roughness moves the sampled GGX direction, so large FD steps cross
+    # visibility kinks the interior AD gradient (correctly) does not see;
+    # the ladder finds a kink-free eps (measured: 3e-4 agrees to ~7%)
+    ad, fd = _check_directional(loss, params, args, v, rtol=8e-2)
     assert abs(ad) > 1e-8, "roughness gradient must be nonzero"
 
 
@@ -134,7 +153,7 @@ def test_grad_emission(cornell_setup):
     v = _zero_like(params)
     d = jnp.zeros_like(params.mat_rome).at[:, 3].set(1.0)  # emission channel
     v = v._replace(mat_rome=d)
-    ad, fd = _check_directional(loss, params, args, v, eps=2e-3, rtol=2e-2)
+    ad, fd = _check_directional(loss, params, args, v, rtol=2e-2)
     assert abs(ad) > 1e-6, "emission gradient must be nonzero"
 
 
@@ -142,7 +161,7 @@ def test_grad_camera(cornell_setup):
     _, params, loss, args = cornell_setup
     v = _zero_like(params)
     v = v._replace(cam_eye=jnp.asarray([1.0, 0.5, -0.25], jnp.float32))
-    ad, fd = _check_directional(loss, params, args, v, eps=1e-3, rtol=5e-2)
+    ad, fd = _check_directional(loss, params, args, v, rtol=5e-2)
     assert abs(ad) > 1e-6, "camera gradient must be nonzero"
 
 
@@ -160,7 +179,7 @@ def test_grad_sun_luminance(sky_setup):
     params, loss, args = sky_setup
     v = _zero_like(params)
     v = v._replace(sun_lum=jnp.ones(3, jnp.float32))
-    ad, fd = _check_directional(loss, params, args, v, eps=2e-3, rtol=2e-2)
+    ad, fd = _check_directional(loss, params, args, v, rtol=2e-2)
     assert abs(ad) > 1e-8, "sun luminance gradient must be nonzero"
 
 
