@@ -44,6 +44,17 @@ class Engine:
             cv_r_height.set(self.height)
         w = max(1, int(round(cv_r_width.get() * cv_r_scale.get())))
         h = max(1, int(round(cv_r_height.get() * cv_r_scale.get())))
+        if self.width is None and self.height is None and w * h > (1 << 20):
+            # cvar defaults resolve to 1920x1080 (reference parity,
+            # cvars.c:150-168) — ~32x a 256² batch frame.  Headless runs
+            # that didn't ask for it should not mistake this for a hang
+            # (ADVICE r3).
+            con_logf(
+                LogSev.Warning, "app",
+                "no --width/--height given; cvars resolve to %dx%d "
+                "(r_width*r_scale) — pass --width/--height or set r_scale "
+                "for faster batch runs", w, h,
+            )
         self.render = RenderSystem(width=w, height=h)
         self.render.init()
         con_logf(LogSev.Info, "app", "pim_tpu engine initialized (%dx%d)", w, h)

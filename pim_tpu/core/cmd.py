@@ -163,14 +163,17 @@ class CmdSystem:
         self.reg("cvars", cmd_cvars, "list console variables")
 
 
-def cmd_getopt(argv: List[str], name: str) -> Optional[str]:
-    """Find `-name value` (or `--name value`) in argv; ref cmd_getopt."""
+def cmd_getopt(argv: List[str], name: str, flag: bool = False):
+    """Find `-name value` (or `--name value`) in argv; ref cmd_getopt.
+    With flag=True, returns a bool: whether bare `-name` is present."""
     for i, tok in enumerate(argv):
         if tok in (f"-{name}", f"--{name}"):
+            if flag:
+                return True
             if i + 1 < len(argv):
                 return argv[i + 1]
             return ""
-    return None
+    return False if flag else None
 
 
 _system = CmdSystem()

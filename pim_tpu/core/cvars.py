@@ -43,9 +43,31 @@ cv_pt_max_bounces = cvar(
 )
 cv_pt_nee = cvar("pt_nee", CVarType.Bool, True, "next-event estimation on/off")
 cv_pt_media = cvar("pt_media", CVarType.Bool, False, "heterogeneous participating media")
+cv_pt_seed = cvar(
+    "pt_seed", CVarType.Int, 0x9E3779B9,
+    "base seed of the per-ray rng streams (ref: per-thread Prng seeding, "
+    "random.c:67); calibration varies it for independent runs",
+    0, 0xFFFFFFFF,
+)
+cv_pt_debug = cvar(
+    "pt_debug", CVarType.Bool, False,
+    "checkify the frame step: NaN/inf and bad-index guards with loud "
+    "errors (ref analog: ASSERT density + FTZ determinism, task.c:73-74)",
+)
 cv_pt_backend = cvar(
     "pt_backend", CVarType.Text, "auto",
     "intersector backend: auto | brute | bvh | pallas",
+)
+cv_pt_sort = cvar(
+    "pt_sort", CVarType.Text, "auto",
+    "coherence-sort wavefronts before cluster traces: auto | 0 | 1 "
+    "(auto = cluster backend on TPU; render/raysort.py)",
+)
+
+cv_r_tonemap_fit = cvar(
+    "r_tonemap_fit", CVarType.Bool, False,
+    "screenshot tonemap via the cached rational curve fit (cubic_fit "
+    "TMap model) instead of the exact GT operator",
 )
 
 # --- reflections / sky ----------------------------------------------------

@@ -455,12 +455,22 @@ def _pack_rays_t(ro, rd, t_near, t_far):
 
 def intersect_cluster_raw(cl: ClusterArrays, ro, rd, t_near, t_far):
     """Closest hit; returns (t [N], tri [N]) with tri = -1 on miss."""
+    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+
     rays_t, n = _pack_rays_t(ro, rd, t_near, t_far)
     t, slot = _isect_call(cl.scb, cl.clb, cl.tris, rays_t)
     t = t[:n]
     slot = slot[:n]
-    tri = jnp.where(
-        slot >= 0, cl.slot_tri[jnp.clip(slot, 0, cl.slot_tri.shape[0] - 1)], -1)
+    slot_c = jnp.clip(slot, 0, cl.slot_tri.shape[0] - 1)
+    # slot -> original tri id: tri ids < 2^24 ride the f32-exact Pallas
+    # gather on TPU (the XLA per-lane gather here is scan-fused and slow)
+    plane = cl.slot_tri.astype(jnp.float32)[None, :]  # [1, S]
+    if use_texel_kernel() and fits_texel_kernel(plane):
+        tri_f = gather_texels(plane, slot_c[None, :])[0, 0]
+        tri_g = tri_f.astype(jnp.int32)
+    else:
+        tri_g = cl.slot_tri[slot_c]
+    tri = jnp.where(slot >= 0, tri_g, -1)
     return t, tri
 
 

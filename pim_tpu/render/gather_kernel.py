@@ -41,6 +41,35 @@ GATHER_RAY_BLOCK = 2048
 GATHER_MAX_T = 4096
 
 
+def _split_bf16_3(x: jnp.ndarray):
+    """Exact 3-term bf16 split of f32 via bit masking: hi+mid+lo == x for
+    every |x| in [2^-100, 3.38e38] (domain gate applied by callers).
+
+    Each term keeps the sign/exponent and the top 7 mantissa bits of the
+    running residual (== truncation onto the bf16 grid, so the bf16 convert
+    below is exact); three 8-bit significand windows cover f32's 24.
+
+    Deliberately NOT written as `x - f32(bf16(x))`: under XLA's default
+    `xla_allow_excess_precision` the down-then-up convert pair is treated
+    as value-preserving and the subtraction folds to ZERO on TPU, which
+    silently dropped the mid/lo terms and made the r3 kernel return
+    bf16-rounded values on device (found by the adversarial exactness
+    sweep this round; CPU/interpret never trips it).  Integer masking has
+    no such rewrite."""
+    mask = jnp.uint32(0xFFFF0000)
+
+    def trunc(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+
+    hi = trunc(x)
+    r1 = x - hi
+    mid = trunc(r1)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
 def _gather_kernel(table_ref, idx_ref, out_ref, *, t: int, tchunk: int,
                    f: int):
     """table_ref: [3*F, T] bf16 (hi/mid/lo stacked); see module doc."""
@@ -88,12 +117,18 @@ def gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray,
 
     tchunk = min(tpad, 512)
 
+    # Domain gate for the bf16 split: magnitudes in (3.3895e38, 3.4028e38]
+    # round to bf16 inf (hi+mid+lo = NaN), and below ~2^-100 the residual
+    # terms fall out of bf16's normal range and lose bits.  Clamp the top
+    # and flush the bottom — the FTZ/DAZ semantics of the reference's
+    # workers (src/threading/task.c:73-74); no physical table value
+    # (radiance, position, f32-encoded id) lives in either band.  For
+    # |x| in [2^-100, 3.38e38] the gather is bit-exact.
+    table_t = jnp.clip(table_t, -3.38e38, 3.38e38)
+    table_t = jnp.where(jnp.abs(table_t) < 2.0**-100, 0.0, table_t)
+
     # exact 3-term bf16 split (see module doc): hi+mid+lo == f32 bit-exact
-    hi = table_t.astype(jnp.bfloat16)
-    r1 = table_t - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    table3 = jnp.concatenate([hi, mid, lo], axis=0)  # [3*fpad, tpad] bf16
+    table3 = jnp.concatenate(_split_bf16_3(table_t), axis=0)  # [3*fpad, tpad]
 
     # VMEM-aware ray block: table + output block + in-VMEM one-hot must fit
     # the ~16 MB scoped budget (tall fused light tables at map scale push

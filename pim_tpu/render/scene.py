@@ -91,6 +91,7 @@ class SceneMeta:
     media_enabled: bool
     textured: bool
     has_normal_maps: bool
+    sort_rays: bool = False  # coherence-sort wavefronts (render/raysort.py)
 
     @property
     def grid_len(self) -> int:
@@ -171,8 +172,17 @@ def scene_intersect(meta: SceneMeta, arrays: SceneArrays, ro: V3, rd: V3,
     if meta.backend == "cluster":
         from pim_tpu.render.cluster import intersect_cluster_raw
 
-        t, tri = intersect_cluster_raw(_cluster_arrays(arrays), ro, rd,
-                                       t_near, t_far)
+        if meta.sort_rays:
+            from pim_tpu.render.raysort import sorted_rays, unsort_rows
+
+            ro_s, rd_s, tn_s, tf_s, inv = sorted_rays(
+                meta.grid_spec(arrays.grid_lo), ro, rd, t_near, t_far)
+            t_s, tri_s = intersect_cluster_raw(
+                _cluster_arrays(arrays), ro_s, rd_s, tn_s, tf_s)
+            t, tri = unsort_rows([t_s, tri_s], inv)
+        else:
+            t, tri = intersect_cluster_raw(_cluster_arrays(arrays), ro, rd,
+                                           t_near, t_far)
         return _finalize_hit_fused(arrays, t, tri, ro, rd)
     ro_a = ro.aos()
     rd_a = rd.aos()
@@ -191,6 +201,14 @@ def scene_occluded(meta: SceneMeta, arrays: SceneArrays, ro: V3, rd: V3,
     if meta.backend == "cluster":
         from pim_tpu.render.cluster import occluded_cluster
 
+        if meta.sort_rays:
+            from pim_tpu.render.raysort import sorted_rays, unsort_rows
+
+            ro_s, rd_s, tn_s, tf_s, inv = sorted_rays(
+                meta.grid_spec(arrays.grid_lo), ro, rd, t_near, t_far)
+            occ_s = occluded_cluster(_cluster_arrays(arrays), ro_s, rd_s,
+                                     tn_s, tf_s)
+            return unsort_rows([occ_s], inv)[0]
         return occluded_cluster(_cluster_arrays(arrays), ro, rd, t_near, t_far)
     ro_a = ro.aos()
     rd_a = rd.aos()
@@ -423,6 +441,21 @@ def bake_light_grid(meta: SceneMeta, arrays: SceneArrays) -> Tuple[jnp.ndarray, 
 # ---------------------------------------------------------------------------
 
 
+def _resolve_sort_rays(sort_rays, backend: str) -> bool:
+    """'auto' = on exactly where block-granular divergence bites: the
+    cluster backend on a TPU device (measured on e1m1 512², r4 PERF.md)."""
+    if sort_rays is None:
+        from pim_tpu.core.cvars import cv_pt_sort
+
+        mode = str(cv_pt_sort.get()).strip().lower()
+        if mode in ("1", "true", "on"):
+            return True
+        if mode in ("0", "false", "off"):
+            return False
+        sort_rays = backend == "cluster" and jax.default_backend() not in ("cpu",)
+    return bool(sort_rays)
+
+
 def build_scene(
     entities: Entities,
     pool: TexturePool,
@@ -432,8 +465,14 @@ def build_scene(
     sky: Optional[np.ndarray] = None,
     media_enabled: bool = False,
     brute_threshold: int = 4096,
+    sort_rays: Optional[bool] = None,
 ) -> Tuple[SceneMeta, SceneArrays, LightState]:
-    """Entities + textures -> (meta, device arrays, light state)."""
+    """Entities + textures -> (meta, device arrays, light state).
+
+    sort_rays: coherence-sort wavefronts before cluster-backend traces
+    (render/raysort.py); None = the pt_sort cvar, whose 'auto' enables it
+    exactly where block-granular divergence bites: the cluster backend on
+    a TPU device."""
     from pim_tpu.core.cvars import cv_pt_dist_meters
     from pim_tpu.render.fetch import build_tri_table
     from pim_tpu.render.pallas_kernels import pack_tris
@@ -510,6 +549,7 @@ def build_scene(
             for m in flat.materials
         ),
         has_normal_maps=any(m.normal_tex >= 0 for m in flat.materials),
+        sort_rays=_resolve_sort_rays(sort_rays, backend),
     )
 
     # texture planes: [4, H*W] + transposed records with stride row

@@ -19,15 +19,49 @@ from pim_tpu.core import rng
 from pim_tpu.math.color import gt_tonemap, srgb_oetf
 
 
-def tonemap_for_display(light, exposure, whitepoint: float = 1.0):
+_TMAP_FIT_CACHE = {}
+
+
+def fitted_gt_coeffs(whitepoint: float = 1.0):
+    """Rational-curve fit of the GT tonemap (the cubic_fit consumer; ref
+    cubic_fit.h's TMap model is exactly this use case: replace a
+    transcendental tonemap with a 5-coeff rational).  Fit once per
+    whitepoint, cached host-side; measured rms ~2e-3 over [0, 4P]."""
+    key = round(float(whitepoint), 6)
+    if key not in _TMAP_FIT_CACHE:
+        from pim_tpu.math.cubic_fit import curve_fit
+
+        xs = jnp.linspace(0.0, 4.0 * whitepoint, 256)
+        ys = gt_tonemap(xs, P=whitepoint, a=1.0, m=0.5, l=0.4, c=1.33, b=0.0)
+        coeffs, err = curve_fit(xs, ys, kind="tmap", iterations=600,
+                                population=128, seed=7)
+        _TMAP_FIT_CACHE[key] = (coeffs, float(err))
+    return _TMAP_FIT_CACHE[key][0]
+
+
+def tonemap_for_display(light, exposure, whitepoint: float = 1.0,
+                        use_fit: bool = None):
     """HDR [N, 3] (or [H, W, 3]) -> display-referred [0,1] rgb.
 
     Matches the screenshot chain (GT tonemap params P=1, a=1, m=0.5, l=0.4,
     c=1.33, b=0) minus the dither (applied at quantization time).
+    use_fit (cvar r_tonemap_fit) swaps in the cached rational fit
+    (fitted_gt_coeffs) — the reference's cubic_fit trade of a cheap curve
+    for the exp/pow tonemap.
     """
+    if use_fit is None:
+        from pim_tpu.core.cvars import cv_r_tonemap_fit
+
+        use_fit = bool(cv_r_tonemap_fit.get())
     v = light * exposure
     v = jnp.maximum(v, 0.0)
-    v = gt_tonemap(v, P=whitepoint, a=1.0, m=0.5, l=0.4, c=1.33, b=0.0)
+    if use_fit:
+        from pim_tpu.math.cubic_fit import tmap_eval
+
+        v = jnp.clip(tmap_eval(v, fitted_gt_coeffs(whitepoint)), 0.0,
+                     whitepoint)
+    else:
+        v = gt_tonemap(v, P=whitepoint, a=1.0, m=0.5, l=0.4, c=1.33, b=0.0)
     return srgb_oetf(v)
 
 

@@ -249,9 +249,25 @@ def sample_sky_cubemap_soa(cube: jnp.ndarray, rd):
     i01 = base + y1 * size + x0
     i11 = base + y1 * size + x1
 
+    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+
+    planes = cube.reshape(-1, 3).T  # [3, 6*S*S], hoisted out of the scan
+    if use_texel_kernel() and fits_texel_kernel(planes):
+        # fused 4-corner x 3-channel Pallas gather (the XLA per-lane
+        # gather here cost ~800 ms/step at e1m1 512²; r4 PERF.md)
+        idx4 = jnp.stack([i00, i10, i01, i11], axis=0)  # [4, N]
+        tex = gather_texels(planes, idx4)               # [3, 4, N]
+        out = []
+        for ch in range(3):
+            t00, t10, t01, t11 = tex[ch, 0], tex[ch, 1], tex[ch, 2], tex[ch, 3]
+            top = t00 + (t10 - t00) * tx
+            bot = t01 + (t11 - t01) * tx
+            out.append(top + (bot - top) * ty)
+        return V3(out[0], out[1], out[2])
+
     out = []
     for ch in range(3):
-        plane = cube[..., ch].reshape(-1)
+        plane = planes[ch]
         t00 = plane[i00]
         t10 = plane[i10]
         t01 = plane[i01]

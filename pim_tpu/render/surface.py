@@ -117,6 +117,21 @@ def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
 
     missing = tex_id < 0
     out = []
+    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+
+    if use_texel_kernel() and fits_texel_kernel(atlas_planes):
+        # one MXU-riding Pallas gather for all 4 corners x 4 channels
+        # (measured vs the XLA per-lane gather at 512²: 12.3 ms vs
+        # ~75-90 ms per fetch round on e1m1's atlas; r4 PERF.md)
+        tex = gather_texels(atlas_planes, idx4)  # [4, 4, N]
+        for c in range(4):
+            t00, t10, t01, t11 = tex[c, 0], tex[c, 1], tex[c, 2], tex[c, 3]
+            top = t00 + (t10 - t00) * tx
+            bot = t01 + (t11 - t01) * tx
+            val = top + (bot - top) * ty
+            out.append(jnp.where(missing, jnp.float32(default[c]), val))
+        return out
+
     for c in range(4):
         t00, t10, t01, t11 = _gather_corners(atlas_planes[c], idx4)
         top = t00 + (t10 - t00) * tx

@@ -1,0 +1,163 @@
+"""Per-lane small-table gather: `planes[:, idx]` for K index sets, on MXU.
+
+The r3 PERF.md trace showed XLA's dynamic-index gather running at ~1.4 GB/s
+inside the bounce scan (9 ms for a [4, 262144] corner fetch from a 32k-texel
+atlas plane; 75-90 ms per bilinear fetch round).  At e1m1 512² the atlas +
+sky + slot-id gathers cost ~2.0 s of the 3.06 s step.  This kernel replaces
+them with a two-level one-hot contraction computed entirely in VMEM:
+
+  idx = hi * 128 + lo
+  gather(plane, idx) = e_hi^T · P · e_lo          P = plane.reshape(Thi, 128)
+
+For a ray block R: Q = OH_hi [R, CH] @ P_chunk [CH, C*128] rides the MXU
+(CH = 128 hi-rows per chunk, range-gated to the block's [min, max] hi-row —
+sorted/coherent ray blocks touch 1-2 chunks), then out = Σ_lane Q * OH_lo
+on the VPU.  Bit-exactness (vertex-grade): P is pre-split into three bf16
+terms hi+mid+lo == f32 exactly; each matmul output element has exactly one
+nonzero product (one-hot), so the three f32 accumulations reconstruct the
+stored f32 bit-exactly (same argument as render/gather_kernel.py).  Values
+must stay below bf16 max; planes are clamped to ±3e38 at prep (the r3
+ADVICE boundary note).
+
+Used by: surface.sample_atlas_bilinear (4 corners × 4 channels),
+sky.sample_sky_cubemap_soa (4 corners × 3 channels), cluster slot→tri id
+resolution (1×1).  Ref analog: the CPU pointer-chase samplers,
+/root/reference/src/rendering/sampler.h:176-249 and Cubemap_Read.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_BLOCK = 1024
+CHUNK_ROWS = 128          # hi-rows per MXU pass (full K-dim tiles)
+# 3 bf16 copies of [Thi, C*128] must stay well under VMEM
+MAX_TABLE_WORDS = 2 << 20  # Thi * C * 128 f32-equivalent words
+
+
+def _gather_kernel(p3_ref, idx_ref, out_ref, *, thi: int, c: int, k: int,
+                   nchunks: int):
+    """p3_ref [3*Thi, C*128] bf16; idx_ref [R, K] i32; out_ref [R, C*K] f32."""
+    r = idx_ref.shape[0]
+    cw = c * 128
+
+    for kk in range(k):
+        idx = idx_ref[:, kk : kk + 1]              # [R, 1] i32
+        ihi = idx // 128                           # [R, 1]
+        ilo = idx - ihi * 128
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+        oh_lo = (lane == ilo).astype(jnp.float32)  # [R, 128]
+
+        c_lo = jnp.min(ihi) // CHUNK_ROWS
+        c_hi = jnp.max(ihi) // CHUNK_ROWS
+
+        def chunk(ci, q):
+            row0 = ci * CHUNK_ROWS
+            sub = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK_ROWS), 1) + row0
+            oh_hi = (sub == ihi).astype(jnp.bfloat16)  # [R, CH]
+            for part in range(3):
+                pc = p3_ref[pl.ds(part * thi + row0, CHUNK_ROWS), :]  # [CH, CW]
+                q = q + jnp.dot(oh_hi, pc, preferred_element_type=jnp.float32)
+            return q
+
+        q0 = jnp.zeros((r, cw), jnp.float32)
+        if nchunks == 1:
+            q = chunk(0, q0)
+        else:
+            q = jax.lax.fori_loop(c_lo, c_hi + 1, chunk, q0)
+
+        for cc in range(c):
+            val = jnp.sum(q[:, cc * 128 : (cc + 1) * 128] * oh_lo,
+                          axis=1, keepdims=True)   # [R, 1]
+            out_ref[:, cc * k + kk : cc * k + kk + 1] = val
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """planes [C, T] f32, idx [K, N] i32 -> [C, K, N] f32 == planes[:, idx].
+
+    Out-of-range indices are clamped into [0, T).  Table values outside
+    ±3e38 are clamped (bf16-split domain).
+    """
+    c, t = planes.shape
+    k, n = idx.shape
+    tpad = max(CHUNK_ROWS * 128, -(-t // (CHUNK_ROWS * 128)) * (CHUNK_ROWS * 128))
+    thi = tpad // 128
+    if thi * c * 128 > MAX_TABLE_WORDS:
+        # table too large for VMEM residency — XLA fallback
+        return jnp.take(planes, jnp.clip(idx, 0, t - 1), axis=1)
+
+    # clamp top / flush bottom: the bf16-split domain gate (same contract
+    # as gather_kernel.py — FTZ/DAZ analog of ref task.c:73-74)
+    pp = jnp.clip(planes, -3.38e38, 3.38e38)
+    pp = jnp.where(jnp.abs(pp) < 2.0**-100, 0.0, pp)
+    if tpad != t:
+        pp = jnp.pad(pp, ((0, 0), (0, tpad - t)))
+    # [C, Thi, 128] -> [Thi, C*128]; bit-masked split (NOT a bf16 convert
+    # round-trip, which XLA's excess-precision rewrite folds to zero on
+    # TPU — see gather_kernel._split_bf16_3)
+    from pim_tpu.render.gather_kernel import _split_bf16_3
+
+    p = pp.reshape(c, thi, 128).transpose(1, 0, 2).reshape(thi, c * 128)
+    p3 = jnp.concatenate(_split_bf16_3(p), axis=0)    # [3*Thi, C*128]
+
+    idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32).T  # [N, K]
+    rblock = RAY_BLOCK
+    npad = -(-n // rblock) * rblock
+    if npad != n:
+        idx2 = jnp.pad(idx2, ((0, npad - n), (0, 0)))
+    kpad = max(8, -(-k // 8) * 8)
+    if kpad != k:
+        idx2 = jnp.pad(idx2, ((0, 0), (0, kpad - k)))
+
+    kernel = functools.partial(
+        _gather_kernel, thi=thi, c=c, k=k, nchunks=thi // CHUNK_ROWS)
+    ck = c * k
+    ckpad = max(8, -(-ck // 8) * 8)
+
+    def out_index(i):
+        return (i, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // rblock,),
+        in_specs=[
+            pl.BlockSpec((3 * thi, c * 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rblock, kpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rblock, ckpad), out_index,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, ckpad), jnp.float32),
+        interpret=interpret,
+    )(p3, idx2)
+    # [N, C*K] -> [C, K, N]
+    return out[:n, :ck].T.reshape(c, k, n)
+
+
+def use_texel_kernel() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def fits_texel_kernel(planes) -> bool:
+    """Static check that the VMEM-residency budget holds (the kernel
+    itself falls back to jnp.take past it, but callers can branch at
+    trace time to avoid building the prep graph)."""
+    c, t = planes.shape
+    tpad = max(CHUNK_ROWS * 128, -(-t // (CHUNK_ROWS * 128)) * (CHUNK_ROWS * 128))
+    return (tpad // 128) * c * 128 <= MAX_TABLE_WORDS
+
+
+def gather_texels(planes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU, plain (clamped) take elsewhere."""
+    if use_texel_kernel():
+        return gather_texels_pallas(planes, idx)
+    t = planes.shape[1]
+    return jnp.take(planes, jnp.clip(idx, 0, t - 1), axis=1)

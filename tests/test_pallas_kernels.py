@@ -56,3 +56,75 @@ def test_pallas_occluded_matches_brute(cornell_geom):
         op = pk.occluded_pallas(tris9, ro, rd, 0.0, 3.0)
     ob = isect.occluded_brute(pos, ro, rd, 0.0, 3.0)
     np.testing.assert_array_equal(np.asarray(ob), np.asarray(op))
+
+
+def _adversarial_f32(rng, shape):
+    """f32 values that stress the bf16 hi/mid/lo split: full 24-bit
+    mantissas, negatives, near-bf16-max magnitudes, subnormal-scale tinies,
+    and exact zeros (ADVICE r3: extremes must round-trip bit-exactly)."""
+    mant = rng.integers(0, 1 << 24, shape).astype(np.float32)
+    expo = np.exp2(rng.integers(-40, 40, shape).astype(np.float32))
+    sign = np.where(rng.random(shape) < 0.5, -1.0, 1.0).astype(np.float32)
+    vals = (sign * mant * expo).astype(np.float32)
+    flat = vals.reshape(-1)
+    n = flat.size
+    flat[rng.integers(0, n, n // 16)] = 0.0
+    flat[rng.integers(0, n, n // 32)] = 3.0e38      # near-clamp ceiling
+    flat[rng.integers(0, n, n // 32)] = -2.9e38
+    flat[rng.integers(0, n, n // 32)] = 1e-38       # f32 subnormal
+    flat[rng.integers(0, n, n // 32)] = 2.0**-99    # just above flush gate
+    return flat.reshape(shape)
+
+
+def _gate_domain(table):
+    """The kernels' documented domain gate: clamp |x| to bf16-max band and
+    flush-to-zero below 2^-100 (FTZ/DAZ analog, ref task.c:73-74).  The
+    bit-exactness contract holds for gated tables."""
+    out = np.clip(table, -3.38e38, 3.38e38)
+    return np.where(np.abs(out) < 2.0**-100, 0.0, out).astype(np.float32)
+
+
+def test_gather_cols_pallas_bit_exact_interpret():
+    """gather_cols_pallas == table[:, idx] BIT-EXACTLY over adversarial
+    f32 (the split-bf16 contract; vertex positions ride this path)."""
+    from pim_tpu.render.gather_kernel import gather_cols_pallas
+
+    rng = np.random.default_rng(11)
+    f, t, n = 48, 900, 3000
+    table = _adversarial_f32(rng, (f, t))
+    idx = rng.integers(0, t, (n,)).astype(np.int32)
+    out = np.asarray(
+        gather_cols_pallas(jnp.asarray(table), jnp.asarray(idx), interpret=True)
+    )
+    np.testing.assert_array_equal(out, _gate_domain(table)[:, idx])
+
+
+def test_gather_cols_pallas_out_of_range_zeros():
+    from pim_tpu.render.gather_kernel import gather_cols_pallas
+
+    table = np.arange(12, dtype=np.float32).reshape(3, 4) + 1.0
+    idx = np.array([-1, 0, 3, 4, 1000], np.int32)
+    out = np.asarray(
+        gather_cols_pallas(jnp.asarray(table), jnp.asarray(idx), interpret=True)
+    )
+    np.testing.assert_array_equal(out[:, [0, 3, 4]], 0.0)
+    np.testing.assert_array_equal(out[:, 1], table[:, 0])
+    np.testing.assert_array_equal(out[:, 2], table[:, 3])
+
+
+def test_gather_texels_pallas_bit_exact_interpret():
+    """gather_texels_pallas (big-plane two-level kernel) == planes[:, idx]
+    bit-exactly, including multi-chunk tables and clamped OOR indices."""
+    from pim_tpu.render.table_gather import gather_texels_pallas
+
+    rng = np.random.default_rng(5)
+    for (c, t, k, n) in [(4, 32768, 4, 3000), (3, 6 * 32 * 32, 4, 2500),
+                         (1, 2048, 1, 300)]:
+        planes = _adversarial_f32(rng, (c, t))
+        idx = rng.integers(-5, t + 5, (k, n)).astype(np.int32)
+        out = np.asarray(
+            gather_texels_pallas(jnp.asarray(planes), jnp.asarray(idx),
+                                 interpret=True)
+        )
+        np.testing.assert_array_equal(
+            out, _gate_domain(planes)[:, np.clip(idx, 0, t - 1)])
