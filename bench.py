@@ -138,6 +138,9 @@ def _bench_e1m1():
 
 
 def main() -> None:
+    from pim_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     cornell_mrays, cornell_step = _bench_cornell()
     try:
         e1m1_mrays, e1m1_step, e1m1_tris, e1m1_backend = _bench_e1m1()

@@ -29,9 +29,12 @@ class Engine:
     frame: int = 0
 
     def init(self) -> None:
+        from pim_tpu.core.compile_cache import enable_compile_cache
         from pim_tpu.core.cvars import (
             cv_con_logpath, cv_r_height, cv_r_scale, cv_r_width,
         )
+
+        enable_compile_cache()
 
         if cv_con_logpath.get():
             get_console().set_log_path(cv_con_logpath.get())

@@ -100,13 +100,15 @@ def _permute_carry(carry: dict, perm: jnp.ndarray) -> dict:
     """Apply a lane permutation to every per-lane entry of the scan carry
     (live histogram and ray counter are lane-free and pass through).
 
-    All f32 lanes are stacked into ONE [F, N] block and gathered with a
-    single take (ints bitcast in to ride along), then split back out.
-    Per-row takes must not be used here: inside the bounce scan XLA fuses
-    each gather with its consumers into a serialized loop-fusion
-    (measured 5.8 ms per fused row at 512² vs ~0.3 ms for the one stacked
-    gather); the optimization_barrier pins the gather as a standalone op.
-    """
+    Lanes are stacked into TWO [F, N] blocks — one f32, one u32 — each
+    gathered with a single take.  Per-row takes must not be used here:
+    inside the bounce scan XLA fuses each gather with its consumers into
+    a serialized loop-fusion (measured 5.8 ms per fused row at 512² vs
+    ~0.3 ms for the stacked gather); the optimization_barrier pins the
+    gather as a standalone op.  Integer lanes must NOT ride an f32
+    bitcast: patterns like -1 / full-range rng words are NaN payloads,
+    which TPU float datapaths canonicalize (silent corruption; found by
+    the r4 ray-sort A/B — same fix as raysort.unsort_rows)."""
     skip = {"live", "rays"}
     leaves = []   # flat list of [N] arrays
     treedef = {}
@@ -124,26 +126,35 @@ def _permute_carry(carry: dict, perm: jnp.ndarray) -> dict:
             treedef[k] = (None, v.dtype, 1, 1)
         leaves.extend(parts)
 
-    def to_f32(a):
-        if a.dtype == jnp.float32:
-            return a
+    is_f32 = [a.dtype == jnp.float32 for a in leaves]
+
+    def to_u32(a):
         if a.dtype == jnp.bool_:
-            return a.astype(jnp.float32)
-        return jax.lax.bitcast_convert_type(a, jnp.float32)
+            return a.astype(jnp.uint32)
+        if a.dtype == jnp.uint32:
+            return a
+        return jax.lax.bitcast_convert_type(a, jnp.uint32)
 
-    stacked = jnp.stack([to_f32(a) for a in leaves], axis=0)
-    stacked = jax.lax.optimization_barrier(stacked)
-    gathered = jnp.take(stacked, perm, axis=1)
-    gathered = jax.lax.optimization_barrier(gathered)
+    gathered = [None] * len(leaves)
+    for sel, prep in ((True, lambda a: a), (False, to_u32)):
+        idxs = [i for i, f in enumerate(is_f32) if f == sel]
+        if not idxs:
+            continue
+        stacked = jnp.stack([prep(leaves[i]) for i in idxs], axis=0)
+        stacked = jax.lax.optimization_barrier(stacked)
+        g = jnp.take(stacked, perm, axis=1)
+        g = jax.lax.optimization_barrier(g)
+        for j, i in enumerate(idxs):
+            gathered[i] = g[j]
 
-    out = {k: carry[k] for k in skip if k in carry}
-    def from_f32(a, dt):
-        if dt == jnp.float32:
+    def restore(a, dt):
+        if dt == jnp.float32 or dt == jnp.uint32:
             return a
         if dt == jnp.bool_:
-            return a > 0.5
+            return a > 0
         return jax.lax.bitcast_convert_type(a, dt)
 
+    out = {k: carry[k] for k in skip if k in carry}
     i = 0
     for k, v in carry.items():
         if k in skip:
@@ -152,11 +163,11 @@ def _permute_carry(carry: dict, perm: jnp.ndarray) -> dict:
         rows = gathered[i : i + cnt]
         i += cnt
         if cls is not None:  # V3 / RngState
-            out[k] = cls(*(from_f32(rows[j], dtype) for j in range(cnt)))
+            out[k] = cls(*(restore(rows[j], dtype) for j in range(cnt)))
         elif ndim == 2:
-            out[k] = from_f32(rows, dtype)
+            out[k] = restore(jnp.stack(rows, axis=0), dtype)
         else:
-            out[k] = from_f32(rows[0], dtype)
+            out[k] = restore(rows[0], dtype)
     return out
 
 

@@ -84,23 +84,32 @@ def sorted_rays(grid_spec, ro: V3, rd: V3, t_near, t_far):
 
 
 def unsort_rows(rows, inv_perm):
-    """Restore original lane order for a list of [N] result arrays (f32 or
-    int — ints ride bitcast through the stacked gather)."""
-    def to_f32(a):
-        if a.dtype == jnp.float32:
-            return a
-        if a.dtype == jnp.bool_:
-            return a.astype(jnp.float32)
-        return jax.lax.bitcast_convert_type(a, jnp.float32)
+    """Restore original lane order for a list of [N] result arrays.
 
-    dts = [r.dtype for r in rows]
-    out = _stacked_take([to_f32(r) for r in rows], inv_perm)
+    Rows are gathered in dtype groups: floats in one stacked take, ints
+    (i32/u32/bool) in a second integer take.  NEVER bitcast ints through
+    f32 for the gather: integer bit patterns like -1 (0xFFFFFFFF) are
+    NaNs, and TPU float datapaths canonicalize NaN payloads — the r4 sort
+    A/B caught tri ids being silently rewritten on device (CPU/interpret
+    preserves payloads, so only hardware runs trip it)."""
+    f_idx = [i for i, r in enumerate(rows) if r.dtype == jnp.float32]
+    i_idx = [i for i, r in enumerate(rows) if r.dtype != jnp.float32]
+    out = [None] * len(rows)
+    if f_idx:
+        g = _stacked_take([rows[i] for i in f_idx], inv_perm)
+        for j, i in enumerate(f_idx):
+            out[i] = g[j]
+    if i_idx:
+        def to_u32(a):
+            if a.dtype == jnp.bool_:
+                return a.astype(jnp.uint32)
+            return jax.lax.bitcast_convert_type(a, jnp.uint32)
 
-    def from_f32(a, dt):
-        if dt == jnp.float32:
-            return a
-        if dt == jnp.bool_:
-            return a > 0.5
-        return jax.lax.bitcast_convert_type(a, dt)
-
-    return [from_f32(out[i], dt) for i, dt in enumerate(dts)]
+        g = _stacked_take([to_u32(rows[i]) for i in i_idx], inv_perm)
+        for j, i in enumerate(i_idx):
+            dt = rows[i].dtype
+            if dt == jnp.bool_:
+                out[i] = g[j] > 0
+            else:
+                out[i] = jax.lax.bitcast_convert_type(g[j], dt)
+    return out

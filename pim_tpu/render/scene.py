@@ -525,8 +525,13 @@ def build_scene(
         num_samples=max(4096, int(cv_r_brdflut_spf.get()) * 512))
 
     if sky is None:
+        # scenes with MatFlag.SKY surfaces are sky scenes even before a
+        # cubemap exists: has_sky=True with a 1-texel black cube lets the
+        # render system's dirty-checked BakeSky fill arrays.sky on the
+        # first frame (ref PtScene_FindSky, path_tracer.c:1011-1041 —
+        # previously the mapload path silently rendered skyless, r4)
         sky_arr = jnp.zeros((6, 1, 1, 3), jnp.float32)
-        has_sky = False
+        has_sky = any(m.flags & MatFlag.SKY for m in flat.materials)
     else:
         sky_arr = jnp.asarray(sky, jnp.float32)
         has_sky = True

@@ -17,8 +17,12 @@ of the adaptive grid, numpy Generator streams), so it is an independent
 unbiased estimator of the same rendering equation: converged images must
 agree with the framework integrator within Monte-Carlo tolerance.
 
-Scope: flat (1x1) material textures, no media, no sky, no refractive
-surfaces — exactly the BASELINE parity configs #1/#2 (Cornell 'boxes').
+Scope: flat (1x1) OR textured materials (bilinear-wrap sampler parity,
+sampler.h:176-249), optional sky cubemap (GetSky/SampleSkyTex parity —
+misses return sky radiance, MatFlag.SKY surfaces emit it and act as NEE
+lights), no media, no refractive surfaces, no normal maps — the BASELINE
+parity configs #1/#2 (Cornell) plus the textured+sky scope of configs
+#3/#4 (map-class scenes; tests/test_parity.py::test_parity_textured_sky).
 """
 
 from __future__ import annotations
@@ -291,10 +295,20 @@ class OracleScene(NamedTuple):
     ior: np.ndarray         # [T]
     areas: np.ndarray       # [T]
     emissive: np.ndarray    # [E] tri indices
+    # --- textured + sky scope (BASELINE configs #3/#4) ---------------------
+    uvs: np.ndarray = None         # [V, 2] f64 (None = untextured scene)
+    albedo_tex: np.ndarray = None  # [T] i32 texture index (-1 = flat)
+    rome_tex: np.ndarray = None    # [T] i32
+    textures: tuple = ()           # per-index [H, W, 4] f64 images
+    sky: np.ndarray = None         # [6, S, S, 3] f64 cubemap (None = black)
 
 
-def scene_from_entities(entities, pool) -> OracleScene:
-    """Flatten entities into the oracle's per-triangle flat-material soup."""
+def scene_from_entities(entities, pool, sky=None) -> OracleScene:
+    """Flatten entities into the oracle's per-triangle soup.  1x1 textures
+    fold into flat per-tri albedo/rome; larger ones ride the bilinear-wrap
+    sampler (sampler.h:176-249).  `sky` ([6,S,S,3]) enables the cubemap
+    scope: misses return sky radiance and MatFlag.SKY surfaces emit it
+    (GetSky/GetEmission, path_tracer.c:1247-1326)."""
     from pim_tpu.geom.entities import flatten
     from pim_tpu.geom.material import MatFlag
 
@@ -304,16 +318,23 @@ def scene_from_entities(entities, pool) -> OracleScene:
     rome = np.tile(np.array([0.5, 1.0, 0.0, 0.0]), (t, 1))
     flags = np.zeros(t, np.int32)
     ior = np.ones(t)
+    albedo_tex = np.full(t, -1, np.int32)
+    rome_tex = np.full(t, -1, np.int32)
+    textures = [np.asarray(pool.get(i), np.float64) for i in range(len(pool))]
     for i, mid in enumerate(f.mat_ids):
         mat = f.materials[mid]
         if mat.albedo_tex >= 0:
-            img = pool.get(mat.albedo_tex)
-            assert img.shape[:2] == (1, 1), "oracle supports flat materials only"
-            albedo[i] = img[0, 0]
+            img = textures[mat.albedo_tex]
+            if img.shape[:2] == (1, 1):
+                albedo[i] = img[0, 0]
+            else:
+                albedo_tex[i] = mat.albedo_tex
         if mat.rome_tex >= 0:
-            img = pool.get(mat.rome_tex)
-            assert img.shape[:2] == (1, 1)
-            rome[i] = img[0, 0]
+            img = textures[mat.rome_tex]
+            if img.shape[:2] == (1, 1):
+                rome[i] = img[0, 0]
+            else:
+                rome_tex[i] = mat.rome_tex
         flags[i] = int(mat.flags)
         ior[i] = mat.ior
     assert not (flags & int(MatFlag.REFRACTIVE)).any(), \
@@ -323,12 +344,142 @@ def scene_from_entities(entities, pool) -> OracleScene:
     b = pos[1::3]
     c = pos[2::3]
     areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
-    emissive = np.nonzero(rome[:, 3] > 0.0)[0]
+    # lights: emissive rome alpha OR sky panels (the framework's emissive
+    # detection marks MatFlag.SKY tris pdf=1, scene.py SetupEmissives)
+    tex_emissive = np.zeros(t, bool)
+    for i in range(t):
+        if rome_tex[i] >= 0:
+            tex_emissive[i] = textures[rome_tex[i]][..., 3].max() > 0.0
+    is_sky = (flags & int(MatFlag.SKY)) != 0
+    emissive = np.nonzero((rome[:, 3] > 0.0) | tex_emissive
+                          | (is_sky if sky is not None else False))[0]
     return OracleScene(
         positions=pos, normals=f.normals.astype(np.float64),
         albedo=albedo, rome=rome, flags=flags, ior=ior,
         areas=areas, emissive=emissive,
+        uvs=f.uvs.astype(np.float64),
+        albedo_tex=albedo_tex, rome_tex=rome_tex,
+        textures=tuple(textures),
+        sky=None if sky is None else np.asarray(sky, np.float64),
     )
+
+
+def uv_bilinear_wrap(img, uv):
+    """CPU bilinear sampler parity (sampler.h:176-249 UvBilinearWrap):
+    negative-mirror wrap `u = (u >= 0) ? u : 1 - u; frac`, corner at
+    min(x0+1, w-1).  img [H, W, 4], uv [N, 2] -> [N, 4]."""
+    h, w = img.shape[:2]
+    u = uv[:, 0]
+    v = uv[:, 1]
+    u = np.where(u >= 0.0, u, 1.0 - u)
+    v = np.where(v >= 0.0, v, 1.0 - v)
+    u = u - np.floor(u)
+    v = v - np.floor(v)
+    fx = u * max(w - 1, 0)
+    fy = v * max(h - 1, 0)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    t00 = img[y0, x0]
+    t10 = img[y0, x1]
+    t01 = img[y1, x0]
+    t11 = img[y1, x1]
+    top = t00 + (t10 - t00) * tx
+    bot = t01 + (t11 - t01) * tx
+    return top + (bot - top) * ty
+
+
+def _tri_uv(scene, tri, w, u, v):
+    iv = tri * 3
+    return (
+        scene.uvs[iv] * w[:, None] + scene.uvs[iv + 1] * u[:, None]
+        + scene.uvs[iv + 2] * v[:, None]
+    )
+
+
+def _fetch_material(scene, tri, w, u, v):
+    """Per-hit (albedo [N,4], rome [N,4]) honoring textured tris."""
+    albedo = scene.albedo[tri].copy()
+    rome = scene.rome[tri].copy()
+    if scene.uvs is None or scene.albedo_tex is None:
+        return albedo, rome
+    a_tex = scene.albedo_tex[tri]
+    r_tex = scene.rome_tex[tri]
+    if (a_tex >= 0).any() or (r_tex >= 0).any():
+        uv = _tri_uv(scene, tri, w, u, v)
+        for ti, img in enumerate(scene.textures):
+            sel_a = np.nonzero(a_tex == ti)[0]
+            if sel_a.size:
+                albedo[sel_a] = uv_bilinear_wrap(img, uv[sel_a])
+            sel_r = np.nonzero(r_tex == ti)[0]
+            if sel_r.size:
+                rome[sel_r] = uv_bilinear_wrap(img, uv[sel_r])
+    return albedo, rome
+
+
+# cubemap face bases (parity with render/sky.py _FORWARDS/_RIGHTS/_UPS,
+# itself Cubemap_CalcUv, cubemap.h:71-100)
+_CUBE_FORWARD = np.array([
+    [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1],
+], np.float64)
+_CUBE_RIGHT = np.array([
+    [0, 0, -1], [0, 0, 1], [1, 0, 0], [1, 0, 0], [1, 0, 0], [-1, 0, 0],
+], np.float64)
+_CUBE_UP = np.array([
+    [0, 1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1], [0, 1, 0], [0, 1, 0],
+], np.float64)
+
+
+def sample_sky(scene, dirs):
+    """Bilinear-clamp cubemap fetch (Cubemap_Read parity).  dirs [N, 3]
+    -> [N, 3]; zeros when the scene has no sky."""
+    if scene.sky is None:
+        return np.zeros((dirs.shape[0], 3))
+    cube = scene.sky
+    size = cube.shape[1]
+    ad = np.abs(dirs)
+    vmax = ad.max(axis=-1)
+    ma = 0.5 / np.maximum(vmax, EPS)
+    is_x = vmax == ad[:, 0]
+    is_y = (~is_x) & (vmax == ad[:, 1])
+    face = np.where(
+        is_x, np.where(dirs[:, 0] < 0, 1, 0),
+        np.where(is_y, np.where(dirs[:, 1] < 0, 3, 2),
+                 np.where(dirs[:, 2] < 0, 5, 4)))
+    r = _CUBE_RIGHT[face]
+    up = _CUBE_UP[face]
+    u = np.sum(r * dirs, -1) * ma + 0.5
+    v = np.sum(up * dirs, -1) * ma + 0.5
+    fx = np.clip(u, 0.0, 1.0) * (size - 1)
+    fy = np.clip(v, 0.0, 1.0) * (size - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, size - 1)
+    y1 = np.minimum(y0 + 1, size - 1)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    t00 = cube[face, y0, x0]
+    t10 = cube[face, y0, x1]
+    t01 = cube[face, y1, x0]
+    t11 = cube[face, y1, x1]
+    top = t00 + (t10 - t00) * tx
+    bot = t01 + (t11 - t01) * tx
+    return top + (bot - top) * ty
+
+
+def _emission_at(scene, tri, albedo, rome, rd):
+    """Emission of a surface point: UnpackEmission, with MatFlag.SKY
+    overridden by the cubemap along the incoming direction (GetEmission
+    parity, path_tracer.c:1293-1326)."""
+    e = albedo[:, :3] * (rome[:, 3] ** 2 * EMISSION_SCALE)[:, None]
+    if scene.sky is not None:
+        sky_f = (scene.flags[tri] & SKY) != 0
+        if sky_f.any():
+            e = np.where(sky_f[:, None], sample_sky(scene, rd), e)
+    return e
 
 
 def intersect(scene: OracleScene, ro, rd, t_max):
@@ -402,9 +553,8 @@ def get_surface(scene, tri, w, u, v, rd, ng):
     n = np.where(dot(ng_f, n)[:, None] > 0.0, n, -n)
     n = normalize(n)
     p = p + n * (0.01e-3)  # :1394
-    albedo = scene.albedo[tri]
-    rome = scene.rome[tri]
-    emission = albedo[:, :3] * (rome[:, 3] ** 2 * EMISSION_SCALE)[:, None]
+    albedo, rome = _fetch_material(scene, tri, w, u, v)
+    emission = _emission_at(scene, tri, albedo, rome, rd)
     return Surf(
         p=p, m=n, n=n, albedo=albedo, rome=rome, emission=emission,
         flags=scene.flags[tri], ior=scene.ior[tri],
@@ -529,10 +679,8 @@ def estimate_direct(rng, scene, surf, src_tri, i_dir, alive):
     vis, ng_l, _t = occluded_same_tri(scene, surf.p, rd, dist, l_tri)
     cos_theta = np.abs(dot(rd, ng_l))
     s_pdf = light_pdf(scene.areas[l_tri], cos_theta, dist_sq)
-    li = (
-        scene.albedo[l_tri, :3]
-        * (scene.rome[l_tri, 3] ** 2 * EMISSION_SCALE)[:, None]
-    )
+    l_alb, l_rome = _fetch_material(scene, l_tri, w, u, v)
+    li = _emission_at(scene, l_tri, l_alb, l_rome, rd)
     lp = s_pdf * select_pdf * p_rough
     brdf_a, brdf_p = eval_principled(surf, i_dir, rd)
     bp = brdf_p * p_smooth
@@ -557,10 +705,9 @@ def estimate_direct(rng, scene, surf, src_tri, i_dir, alive):
                   np.maximum(t_h * t_h, EPS))
         * p_rough * select_pdf
     )
-    li2 = (
-        scene.albedo[np.maximum(tri_h, 0), :3]
-        * (scene.rome[np.maximum(tri_h, 0), 3] ** 2 * EMISSION_SCALE)[:, None]
-    ) * atten
+    h_tri = np.maximum(tri_h, 0)
+    h_alb, h_rome = _fetch_material(scene, h_tri, _w, _u, _v)
+    li2 = _emission_at(scene, h_tri, h_alb, h_rome, l) * atten
     wgt2 = power_heuristic(bp2, lp2) / np.maximum(bp2, EPS)
     bsdf_ok = (
         (~pick_light) & hit_ok & (bp2 > EPS) & (lp2 > EPS)
@@ -600,7 +747,12 @@ def trace(scene: OracleScene, ro, rd, rng, max_bounces=10):
 
         t, tri, w, u, v, ng = intersect(scene, ro, rd, np.full(n, BIG))
         hit = (t >= 0.0) & alive
-        # miss -> sky (zeros here) and terminate (:2334-2339)
+        # miss -> sky and terminate (:2334-2339); unweighted — NEE never
+        # samples the void sky, so there is no MIS partner to weight against
+        if scene.sky is not None:
+            miss = alive & ~hit
+            if miss.any():
+                lum[miss] += atten[miss] * sample_sky(scene, rd[miss])
         alive &= hit
         if not alive.any():
             break
@@ -681,6 +833,10 @@ def trace_brute(scene: OracleScene, ro, rd, rng, max_bounces=10):
 
         t, tri, w, u, v, ng = intersect(scene, ro, rd, np.full(n, BIG))
         hit = (t >= 0.0) & alive
+        if scene.sky is not None:
+            miss = alive & ~hit
+            if miss.any():
+                lum[miss] += atten[miss] * sample_sky(scene, rd[miss])
         alive &= hit
         if not alive.any():
             break

@@ -57,6 +57,35 @@ def test_progressive_bake_accumulates(cornell):
     assert irr[live].max() > 0.0
 
 
+def test_sharded_bake_bit_identical(cornell):
+    """Process-sharded bake (contiguous texel slices, the scaling
+    harness's lmbake mode / ref task-pool range claiming) is BIT-IDENTICAL
+    to the unsharded bake: per-texel rng is (texel_id, frame)-seeded, so
+    slice boundaries cannot change any texel's samples (VERDICT r3 #6)."""
+    meta, arrays, lights, flat = cornell
+    pack0 = lm.pack_lightmaps(flat.positions, flat.normals,
+                              texels_per_meter=0.5, atlas_size=32)
+    t = pack0.position.shape[1]
+    half = t // 2
+
+    full = pack0
+    for frame in range(2):
+        full = lm.bake_step(meta, arrays, lights, full, frame, max_bounces=2)
+
+    shard = pack0
+    for frame in range(2):
+        shard = lm.bake_step(meta, arrays, lights, shard, frame,
+                             max_bounces=2, texel_offset=0, texel_count=half)
+        shard = lm.bake_step(meta, arrays, lights, shard, frame,
+                             max_bounces=2, texel_offset=half,
+                             texel_count=t - half)
+
+    np.testing.assert_array_equal(np.asarray(full.probes),
+                                  np.asarray(shard.probes))
+    np.testing.assert_array_equal(np.asarray(full.sample_counts),
+                                  np.asarray(shard.sample_counts))
+
+
 def test_lmpack_crate_roundtrip(cornell, tmp_path):
     meta, arrays, lights, flat = cornell
     pack = lm.pack_lightmaps(flat.positions, flat.normals,

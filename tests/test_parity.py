@@ -64,10 +64,10 @@ def _rays():
     return oracle.pinhole_rays(W, H, EYE, fwd, UP, FOV)
 
 
-def _make_framework_sampler(ents, pool, ro, rd, clip=None):
+def _make_framework_sampler(ents, pool, ro, rd, clip=None, sky=None):
     """One jitted per-sample renderer; (sample index, seed) are traced
     arguments so every chunk reuses the same compilation."""
-    meta, arrays, lights = build_scene(ents, pool)
+    meta, arrays, lights = build_scene(ents, pool, sky=sky)
     n = ro.shape[0]
     ro_v = V3(*(jnp.asarray(ro[:, i], jnp.float32) for i in range(3)))
     rd_v = V3(*(jnp.asarray(rd[:, i], jnp.float32) for i in range(3)))
@@ -89,8 +89,8 @@ def _make_framework_sampler(ents, pool, ro, rd, clip=None):
     return render
 
 
-def _framework_render(ents, pool, ro, rd, spp, seed=0, clip=None):
-    return _make_framework_sampler(ents, pool, ro, rd, clip)(spp, seed)
+def _framework_render(ents, pool, ro, rd, spp, seed=0, clip=None, sky=None):
+    return _make_framework_sampler(ents, pool, ro, rd, clip, sky)(spp, seed)
 
 
 def _override_materials(ents, pool, roughness, metallic):
@@ -158,23 +158,30 @@ def _compare(tag, fw, or_, check_l1=False, band=None):
         assert rel_l1 < 1.5 * null, (tag, rel_l1, null)
 
 
-def _run_config(tag, ents, pool):
-    ro, rd = _rays()
-    scene = oracle.scene_from_entities(ents, pool)
+def _run_config(tag, ents, pool, sky=None, rays=None, band=(-0.05, 0.05),
+                clip=CLIP):
+    """clip must sit well ABOVE the image mean: it exists to suppress the
+    firefly tail, and a clip inside the bulk of the radiance distribution
+    turns the clipped mean into a strongly estimator-dependent statistic
+    (measured: CLIP=2 on the sky-lit map config, mean ~3.3, produced a
+    2x fw/oracle split while the unclipped z was +0.25 — the deterministic
+    full-MIS samples concentrate near the mean, the stochastic strategy
+    picker's bimodal samples clip differently)."""
+    ro, rd = rays if rays is not None else _rays()
+    scene = oracle.scene_from_entities(ents, pool, sky=sky)
 
-    fw = _make_framework_sampler(ents, pool, ro, rd)
+    fw = _make_framework_sampler(ents, pool, ro, rd, sky=sky)
     fw_u = _chunks(lambda i: fw(SPP, 300 + i), CHUNKS)
     or_u = _chunks(lambda i: oracle.render(
         scene, ro, rd, spp=SPP, max_bounces=BOUNCES, seed=600 + i), CHUNKS)
     _compare(f"{tag}/unclipped", fw_u, or_u)
 
-    fw_cs = _make_framework_sampler(ents, pool, ro, rd, clip=CLIP)
+    fw_cs = _make_framework_sampler(ents, pool, ro, rd, clip=clip, sky=sky)
     fw_c = _chunks(lambda i: fw_cs(SPP, 900 + i), CHUNKS)
     or_c = _chunks(lambda i: oracle.render(
         scene, ro, rd, spp=SPP, max_bounces=BOUNCES, seed=1200 + i,
-        clip=CLIP), CHUNKS)
-    _compare(f"{tag}/clipped", fw_c, or_c, check_l1=True,
-             band=(-0.05, 0.05))
+        clip=clip), CHUNKS)
+    _compare(f"{tag}/clipped", fw_c, or_c, check_l1=True, band=band)
 
 
 @pytest.mark.slow
@@ -190,6 +197,100 @@ def test_parity_ggx_cornell():
     """BASELINE config #2: full principled BSDF (metal + plastic boxes)."""
     ents, pool = build_cornell_box("boxes")
     _run_config("ggx", ents, pool)
+
+
+def _small_map_scene():
+    """One-room map-class scene inside the oracle's textured+sky scope:
+    real (8x8) checker/brick atlas textures, SKY skylight panels over a
+    baked cubemap, emissive lamps — the paths BASELINE configs #3/#4 add.
+    Refractive spheres and normal maps are swapped out (oracle scope);
+    the fixed-seed map golden covers those for drift.
+
+    The sun is TAME (120 vs the display default 3800): with a 3800-lum
+    solar disk reachable through the skylights, single-sample radiance
+    spans 3 orders of magnitude and >half the pixel energy rides >25x-mean
+    spikes — measured: every clip level then splits the two estimators'
+    clipped means (deterministic full-MIS concentrates spikes at 1x where
+    the stochastic strategy picker doubles-but-halves them), while leaving
+    the unclipped z untouched.  A tame sun exercises the identical code
+    paths with a testable tail."""
+    import numpy as np
+
+    from pim_tpu.geom.maps import build_map_scene
+    from pim_tpu.geom.material import Material, MatFlag
+    from pim_tpu.render.sky import bake_sky_cubemap, earth_atmosphere
+
+    ents, pool = build_map_scene(rooms=(1, 1), spheres_per_room=2,
+                                 sphere_steps=8, tex_size=8, seed=2)
+    for i in range(ents.count):
+        m = ents.materials[i]
+        if m is None:
+            continue
+        flags = int(m.flags) & ~int(MatFlag.REFRACTIVE)
+        rome = m.rome_tex
+        if int(m.flags) & int(MatFlag.REFRACTIVE):
+            rome = pool.add_flat((0.4, 1.0, 0.0, 0.0))  # glass -> plastic
+        ents.materials[i] = Material(
+            albedo_tex=m.albedo_tex, rome_tex=rome, normal_tex=-1,
+            flags=flags, ior=m.ior)
+    ents.touch()
+    sd = np.asarray([0.35, 0.82, 0.45], np.float32)
+    sd /= np.linalg.norm(sd)
+    sky = np.asarray(bake_sky_cubemap(earth_atmosphere(), sd, 120.0, 16, 4),
+                     np.float32)
+    return ents, pool, sky
+
+
+@pytest.mark.slow
+def test_parity_textured_sky():
+    """BASELINE configs #3/#4 scope: textured materials + sky cubemap +
+    sky-panel NEE, cross-checked against the extended oracle (VERDICT r3
+    missing #1 — previously these paths had no radiance contract)."""
+    ents, pool, sky = _small_map_scene()
+    eye = (-2.2, 1.7, -2.2)
+    at = (1.5, 1.0, 1.5)
+    fwd = np.asarray(at, np.float64) - np.asarray(eye, np.float64)
+    rays = oracle.pinhole_rays(W, H, eye, fwd, UP, FOV)
+    # clip ~12x the measured image mean (0.65): tail-only suppression
+    _run_config("textured_sky", ents, pool, sky=sky, rays=rays, clip=8.0)
+
+
+def _golden_map_scene():
+    """The FULL small-map config for the fixed-seed golden: textures,
+    sky, normal maps, refractive glass — everything configs #3/#4 add,
+    including paths outside the oracle's scope (drift tripwire only)."""
+    import numpy as np
+
+    from pim_tpu.geom.maps import build_map_scene
+    from pim_tpu.render.sky import bake_sky_cubemap, earth_atmosphere
+
+    ents, pool = build_map_scene(rooms=(1, 1), spheres_per_room=3,
+                                 sphere_steps=8, tex_size=8, seed=2)
+    sd = np.asarray([0.35, 0.82, 0.45], np.float32)
+    sd /= np.linalg.norm(sd)
+    sky = np.asarray(bake_sky_cubemap(earth_atmosphere(), sd, 3800.0, 16, 4),
+                     np.float32)
+    eye = (-2.2, 1.7, -2.2)
+    at = (1.5, 1.0, 1.5)
+    fwd = np.asarray(at, np.float64) - np.asarray(eye, np.float64)
+    rays = oracle.pinhole_rays(W, H, eye, fwd, UP, FOV)
+    return ents, pool, sky, rays
+
+
+@pytest.mark.slow
+def test_framework_golden_map():
+    """Fixed-seed drift tripwire for the textured/sky/normal-map/glass
+    paths (VERDICT r3 missing #1: configs #3/#4 had no red test)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "map1room_24_spp64.npy")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated yet (tools/make_goldens.py)")
+    golden = np.load(path)
+    ents, pool, sky, (ro, rd) = _golden_map_scene()
+    img = _framework_render(ents, pool, ro, rd, spp=64, seed=12345, sky=sky)
+    np.testing.assert_allclose(img, golden, rtol=2e-3, atol=2e-4)
 
 
 @pytest.mark.slow

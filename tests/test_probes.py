@@ -50,7 +50,7 @@ def test_probe_bake_sees_cornell_walls(cornell_scene):
     probe = probe_new([0.0, 0.0, 0.0])
     for _ in range(2):
         probe = probe_bake_step(meta, arrays, lights, probe,
-                                samples=2048, max_bounces=3)
+                                samples=1024, max_bounces=2)
     assert int(probe.sample_count) == 2
 
     axes = np.eye(3, dtype=np.float32)

@@ -79,8 +79,8 @@ def test_cluster_backend_sorted_matches_unsorted():
 
     from jax.experimental.pallas import tpu as pltpu
 
-    ents, pool = build_cornell_box("spheres")
-    ro, rd = _rays(512, 11)
+    ents, pool = build_cornell_box("boxes")
+    ro, rd = _rays(128, 11)
     with pltpu.force_tpu_interpret_mode():
         # the light-grid bake inside build_scene traces through the
         # cluster kernels too — keep it in interpret mode on CPU

@@ -1,11 +1,8 @@
 """Calibrate the pt_gate convergence bands (VERDICT r3 weak #4 / next #7).
 
-Runs the exact pt_test scene config (cornell_box, teleport -4 0 4,
-lookat 0 -1 0, exp_manual 1, exp_evoffset 5 — ref CmdPtTest,
-/root/reference/src/rendering/render_system.c:1348-1372) for N independent
-seeds at each resolution, snapshotting the luminance stddev and buffer
-mean at every sample-count tier.  The band per tier is pooled over all
-(seed, resolution) runs:
+Runs a gated scene config for N independent seeds at each resolution,
+snapshotting the luminance stddev and buffer mean at every sample-count
+tier.  The band per tier is pooled over all (seed, resolution) runs:
 
   maxstddev = max(sd)  * (1 + rel) + 6*sigma(sd)
   meanlo    = min(mean)* (1 - rel) - 6*sigma(mean)
@@ -14,10 +11,17 @@ mean at every sample-count tier.  The band per tier is pooled over all
 with rel = 2% — wide enough for device/fp-reassociation drift, ~10x
 tighter than the hand-waved r3 band (which tolerated a ±25% mean shift).
 
-Writes pim_tpu/render/pt_gate_bands.json (committed; loaded by pt_gate).
+Scenes (ref CmdPtTest + CmdLoadMap, render_system.c:1348-1464):
+  cornell — the pt_test config (cornell_box boxes; teleport -4 0 4;
+            lookat 0 -1 0; exp_manual 1; exp_evoffset 5)
+  e1m1    — the generated map through the full import path (textured
+            atlas + sky + cluster backend; camera as bench.py)
 
-Usage: python tools/calibrate_pt_gate.py [--seeds 5] [--res 128,256]
-       [--tiers 8,16,64,256]
+Merges into pim_tpu/render/pt_gate_bands.json (committed; loaded by
+pt_gate, keyed per scene) — other scenes' entries are preserved.
+
+Usage: python tools/calibrate_pt_gate.py [--scene cornell] [--seeds 5]
+       [--res 128,256] [--tiers 8,16,64,256]
 """
 
 import argparse
@@ -27,13 +31,48 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pim_tpu.core.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 REL = 0.02
+BANDS_PATH = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..",
+    "pim_tpu", "render", "pt_gate_bands.json"))
 
 
-def run_seeds(width, height, seeds, tiers):
-    """All seeded pt_test-config runs at one resolution, reusing the
-    compiled frame step (cv_pt_seed is a traced input — no recompile);
-    returns [{seed, tier: (stddev, mean)}...]."""
+def _setup_scene(rs, scene: str):
+    import numpy as np
+
+    if scene == "cornell":
+        from pim_tpu.geom.cornell import build_cornell_box
+
+        rs.entities, rs.pool = build_cornell_box("boxes")
+        rs.camera.reset()
+        rs.camera.position = np.asarray([-4, 0, 4], np.float32)
+        rs.camera.look_at([0, -1, 0])
+        return
+    if scene == "e1m1":
+        from pim_tpu.core import cvars as cv
+        from pim_tpu.geom.gltf import load_gltf_scene
+        from pim_tpu.render.sky import bake_sky_cubemap, earth_atmosphere
+
+        path = os.path.join("data", "e1m1", "glTF", "e1m1.gltf")
+        if not os.path.exists(path):
+            from pim_tpu.geom.maps import export_map
+
+            path = export_map("e1m1", base_dir="data", rooms=(3, 3), seed=1)
+        rs.entities, rs.pool = load_gltf_scene(path)
+        rs.camera.reset()
+        rs.camera.position = np.asarray([-2.5, 1.7, -2.5], np.float32)
+        rs.camera.look_at([6.0, 1.0, 6.0])
+        # the sky bake rides _bake_sky (sun cvars at defaults)
+        return
+    raise SystemExit(f"unknown scene '{scene}'")
+
+
+def run_seeds(scene, width, height, seeds, tiers):
+    """All seeded runs at one resolution, reusing the compiled frame step
+    (cv_pt_seed is a traced input — no recompile)."""
     import numpy as np
 
     from pim_tpu.core import cvars as cv
@@ -45,12 +84,7 @@ def run_seeds(width, height, seeds, tiers):
     cv.cv_pt_denoise.set(False)
 
     rs = RenderSystem(width=width, height=height)
-    from pim_tpu.geom.cornell import build_cornell_box
-
-    rs.entities, rs.pool = build_cornell_box("boxes")
-    rs.camera.reset()
-    rs.camera.position = np.asarray([-4, 0, 4], np.float32)
-    rs.camera.look_at([0, -1, 0])
+    _setup_scene(rs, scene)
 
     results = []
     top = max(tiers)
@@ -70,6 +104,7 @@ def run_seeds(width, height, seeds, tiers):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell")
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--res", default="128,256")
     ap.add_argument("--tiers", default="8,16,64,256")
@@ -83,7 +118,7 @@ def main():
 
     runs = {t: [] for t in tiers}
     for res in resolutions:
-        for seed, snap in run_seeds(res, res, seeds, set(tiers)):
+        for seed, snap in run_seeds(args.scene, res, res, seeds, set(tiers)):
             for t, (sd, mean) in snap.items():
                 runs[t].append({"res": res, "seed": seed,
                                 "stddev": sd, "mean": mean})
@@ -97,27 +132,39 @@ def main():
         sds = np.array([r["stddev"] for r in runs[t]])
         means = np.array([r["mean"] for r in runs[t]])
         entries.append({
+            "scene": args.scene,
             "min_samples": t,
             "maxstddev": float(sds.max() * (1 + REL) + 6 * sds.std()),
             "meanlo": float(means.min() * (1 - REL) - 6 * means.std()),
             "meanhi": float(means.max() * (1 + REL) + 6 * means.std()),
         })
 
-    out = {
-        "scene": "pt_test cornell config (cornell_box boxes; teleport -4 0 4;"
-                 " lookat 0 -1 0; exp_manual 1; exp_evoffset 5)",
+    data = {"entries": [], "calibrations": {}}
+    if os.path.exists(BANDS_PATH):
+        with open(BANDS_PATH) as f:
+            data = json.load(f)
+        data.setdefault("calibrations", {})
+        # migrate pre-scene-key files
+        for e in data.get("entries", []):
+            e.setdefault("scene", "cornell")
+    data["entries"] = [e for e in data.get("entries", [])
+                       if e.get("scene") != args.scene] + entries
+    data["calibrations"][args.scene] = {
         "device": jax.devices()[0].device_kind,
         "resolutions": resolutions,
         "seeds": [hex(s) for s in seeds],
         "rel_margin": REL,
-        "entries": entries,
         "runs": {str(t): runs[t] for t in tiers},
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                        "pim_tpu", "render", "pt_gate_bands.json")
-    with open(os.path.normpath(path), "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"wrote {os.path.normpath(path)}")
+    data.pop("runs", None)
+    data.pop("scene", None)
+    data.pop("device", None)
+    data.pop("resolutions", None)
+    data.pop("seeds", None)
+    data.pop("rel_margin", None)
+    with open(BANDS_PATH, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"wrote {BANDS_PATH}")
     for e in entries:
         print(e)
 

@@ -34,6 +34,16 @@ def main():
     np.save(path, img.astype(np.float32))
     print(f"wrote {path}: mean={img.mean():.6f}")
 
+    # map-class golden: textures + sky + normal maps + glass (the drift
+    # tripwire for BASELINE configs #3/#4; test_framework_golden_map)
+    from tests.test_parity import _golden_map_scene
+
+    ents, pool, sky, (ro, rd) = _golden_map_scene()
+    img = _framework_render(ents, pool, ro, rd, spp=64, seed=12345, sky=sky)
+    path = os.path.join(out_dir, "map1room_24_spp64.npy")
+    np.save(path, img.astype(np.float32))
+    print(f"wrote {path}: mean={img.mean():.6f}")
+
 
 if __name__ == "__main__":
     main()

@@ -29,15 +29,16 @@ BASE_PORT = 7631
 NCORES = os.cpu_count() or 1
 
 
-def run_world(nprocs: int, steps: int = None) -> dict:
+def run_world(nprocs: int, steps: int = None, devs_per_proc: int = 1) -> dict:
     if steps is None:
         steps = int(os.environ.get("PIM_SCALE_STEPS", "32"))
     env_common = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        PIM_COORDINATOR=f"127.0.0.1:{BASE_PORT + nprocs}",
+        PIM_COORDINATOR=f"127.0.0.1:{BASE_PORT + nprocs + 37 * devs_per_proc}",
         PIM_NUM_PROCS=str(nprocs),
         PIM_SCALE_STEPS=str(steps),
+        PIM_DEVS_PER_PROC=str(devs_per_proc),
     )
     pinned = nprocs <= NCORES
     if not pinned and not os.environ.get("PIM_SCALE_OVERSUBSCRIBE"):
@@ -66,15 +67,24 @@ def run_world(nprocs: int, steps: int = None) -> dict:
         f"rank 0 of world {nprocs} printed no result; stderr:\n{err0[-2000:]}")
 
 
+def _parse_world(a: str):
+    """'2' -> (2 procs, 1 dev/proc); '2x4' -> (2 procs, 4 devs/proc)."""
+    if "x" in a:
+        p, d = a.split("x")
+        return int(p), int(d)
+    return int(a), 1
+
+
 def main():
-    worlds = [int(a) for a in sys.argv[1:]] or [1, 2]
+    worlds = [_parse_world(a) for a in sys.argv[1:]] or [
+        (1, 1), (2, 1), (2, 2), (2, 4)]
     rows = []
     repeats = int(os.environ.get("PIM_SCALE_REPEATS", "3"))
-    for n in worlds:
+    for n, d in worlds:
         best = None
         for _ in range(repeats):  # best-of-N: a shared host adds one-sided noise
             t0 = time.time()
-            r = run_world(n)
+            r = run_world(n, devs_per_proc=d)
             r["launch_s"] = round(time.time() - t0, 1)
             if best is None or r["mpaths_per_s"] > best["mpaths_per_s"]:
                 best = r
@@ -85,20 +95,27 @@ def main():
     lines = [
         "# SCALING — multi-process weak-scaling harness",
         "",
-        "`jax.distributed` worlds over loopback (gloo), one CPU device per",
-        "process, each rank PINNED to its own core, Cornell 64x64/process,",
-        "3 bounces, 8 steps; the same process-federation + psum path a TPU",
-        "pod runs over ICI/DCN.  Efficiency = mpaths/s / (nprocs * 1-proc",
-        "mpaths/s); worlds beyond the core count are refused (they measure",
+        "`jax.distributed` worlds over loopback (gloo), each rank PINNED to",
+        "its own core, Cornell 64x64/process, 3 bounces; the same",
+        "process-federation + psum path a TPU pod runs over ICI/DCN.",
+        "Worlds are `procs x devs/proc`: multi-device rows federate several",
+        "virtual CPU devices per process (the real-TPU host shape, 4-8",
+        "chips/host) through one global mesh — collectives then cross both",
+        "the in-process device boundary and the gloo process boundary.",
+        "Efficiency = mpaths/s / (nprocs * 1-proc mpaths/s): per-PROCESS",
+        "weak scaling (per-process pixels fixed; a process's devices share",
+        "its core, so devs/proc does not add compute, only mesh width).",
+        "Process worlds beyond the core count are refused (they measure",
         "host contention, not the framework).",
         "",
-        "| procs | global px | wall s | Mpaths/s | efficiency |",
-        "|---|---|---|---|---|",
+        "| procs | devs/proc | mesh | global px | wall s | Mpaths/s | efficiency |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         eff = r["mpaths_per_s"] / (base * r["nprocs"])
         lines.append(
-            f"| {r['nprocs']} | {r['pixels']} | {r['wall_s']} | "
+            f"| {r['nprocs']} | {r['devices'] // r['nprocs']} | "
+            f"{r['devices']} | {r['pixels']} | {r['wall_s']} | "
             f"{r['mpaths_per_s']:.3f} | {eff * 100:.1f}% |")
         r["efficiency"] = round(eff, 4)
     lines.append("")
