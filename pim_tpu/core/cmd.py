@@ -61,11 +61,19 @@ class CmdSystem:
 
     @staticmethod
     def tokenize(text: str) -> List[List[str]]:
-        """Split a command line into statements (by ';' / newline) of tokens."""
+        """Split a command line into statements (by ';' / newline) of tokens.
+        Comment lines ('#' / '//') are dropped BEFORE the ';' split, so a
+        semicolon inside a comment cannot leak a bogus statement."""
         statements: List[List[str]] = []
-        for raw in text.replace(";", "\n").splitlines():
+        lines = []
+        for raw in text.splitlines():
+            s = raw.strip()
+            if not s or s.startswith("#") or s.startswith("//"):
+                continue
+            lines.extend(s.split(";"))
+        for raw in lines:
             line = raw.strip()
-            if not line or line.startswith("#") or line.startswith("//"):
+            if not line:
                 continue
             lex = shlex.shlex(line, posix=True)
             lex.whitespace_split = True

@@ -76,6 +76,14 @@ def init_distributed(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        # compile-time skew between ranks on a shared/pinned-core host can
+        # exceed the 300s default shutdown barrier (seen in the lmbake
+        # scaling world: one rank still compiling while the other finished
+        # the whole run); a slow rank must not kill the world
+        initialization_timeout=int(os.environ.get("PIM_DIST_INIT_S", "600")),
+        heartbeat_timeout_seconds=int(os.environ.get("PIM_DIST_HB_S", "300")),
+        shutdown_timeout_seconds=int(
+            os.environ.get("PIM_DIST_SHUTDOWN_S", "900")),
     )
     return DistInfo(process_id, num_processes, coordinator)
 

@@ -201,7 +201,7 @@ def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
     emit_a = rows[E_EMIT_A]
     if meta.textured:
         from pim_tpu.math.vec3 import V2, where3
-        from pim_tpu.render.surface import sample_atlas_bilinear
+        from pim_tpu.render.surface import sample_atlas_bilinear_multi
 
         a_tex = rows[E_ALBEDO_TEX].astype(jnp.int32)
         r_tex = rows[E_ROME_TEX].astype(jnp.int32)
@@ -210,10 +210,10 @@ def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
             rows[E_UVA.start + 1] * w_ + rows[E_UVB.start + 1] * wu
             + rows[E_UVC.start + 1] * wv,
         )
-        alb = sample_atlas_bilinear(arrays.atlas_planes, arrays.tex_rec_t,
-                                    a_tex, uv, (0, 0, 0, 0))
-        rom = sample_atlas_bilinear(arrays.atlas_planes, arrays.tex_rec_t,
-                                    r_tex, uv, (0, 0, 0, 0))
+        alb, rom = sample_atlas_bilinear_multi(
+            arrays.atlas_planes, arrays.tex_rec_t,
+            [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))],
+        )
         albedo = where3(a_tex >= 0, V3(alb[0], alb[1], alb[2]), albedo)
         emit_a = jnp.where(r_tex >= 0, rom[3], emit_a)
     emission = albedo * (emit_a * emit_a * K_EMISSION_SCALE)

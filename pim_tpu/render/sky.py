@@ -224,16 +224,22 @@ def sample_sky_cubemap_soa(cube: jnp.ndarray, rd):
         jnp.where(rd.x < 0, 1, 0),
         jnp.where(is_y, jnp.where(rd.y < 0, 3, 2), jnp.where(rd.z < 0, 5, 4)),
     )
-    r = jnp.asarray(_RIGHTS)
-    up = jnp.asarray(_UPS)
-    rx = r[face, 0]
-    ry = r[face, 1]
-    rz = r[face, 2]
-    ux = up[face, 0]
-    uy = up[face, 1]
-    uz = up[face, 2]
-    u = (rx * rd.x + ry * rd.y + rz * rd.z) * ma + 0.5
-    v = (ux * rd.x + uy * rd.y + uz * rd.z) * ma + 0.5
+    # face-basis components as arithmetic selects, NOT table gathers: a
+    # per-lane `_RIGHTS[face, c]` lowers to a full-wavefront XLA gather
+    # (~25 ms each at 512²; six of them cost ~190 ms/step in the r4 e1m1
+    # trace).  The bases are sparse ±1 patterns (see _RIGHTS/_UPS):
+    #   right = [0,0,-1],[0,0,1],[1,0,0],[-1,0,0],[1,0,0],[-1,0,0]
+    #   up    = [0,1,0],[0,1,0],[0,0,-1],[0,0,-1],[0,1,0],[0,1,0]
+    f = face
+    one = jnp.float32(1.0)
+    odd = (f & 1) == 1
+    rx = jnp.where(f < 2, 0.0, jnp.where(odd, -one, one))
+    rz = jnp.where(f == 0, -one, jnp.where(f == 1, one, 0.0))
+    is_y_face = (f == 2) | (f == 3)
+    uy = jnp.where(is_y_face, 0.0, one)
+    uz = jnp.where(is_y_face, -one, 0.0)
+    u = (rx * rd.x + rz * rd.z) * ma + 0.5
+    v = (uy * rd.y + uz * rd.z) * ma + 0.5
 
     fx = jnp.clip(u, 0.0, 1.0) * (size - 1)
     fy = jnp.clip(v, 0.0, 1.0) * (size - 1)
@@ -254,9 +260,11 @@ def sample_sky_cubemap_soa(cube: jnp.ndarray, rd):
     planes = cube.reshape(-1, 3).T  # [3, 6*S*S], hoisted out of the scan
     if use_texel_kernel() and fits_texel_kernel(planes):
         # fused 4-corner x 3-channel Pallas gather (the XLA per-lane
-        # gather here cost ~800 ms/step at e1m1 512²; r4 PERF.md)
+        # gather here cost ~800 ms/step at e1m1 512²; r4 PERF.md).
+        # parts=2 keeps 16 mantissa bits of the HDR radiance (<2^-16
+        # relative error) at 2/3 the MXU passes of the exact split.
         idx4 = jnp.stack([i00, i10, i01, i11], axis=0)  # [4, N]
-        tex = gather_texels(planes, idx4)               # [3, 4, N]
+        tex = gather_texels(planes, idx4, parts=2)      # [3, 4, N]
         out = []
         for ch in range(3):
             t00, t10, t01, t11 = tex[ch, 0], tex[ch, 1], tex[ch, 2], tex[ch, 3]

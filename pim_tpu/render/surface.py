@@ -73,16 +73,9 @@ def _gather_corners(plane, idx4):
     return jax.lax.optimization_barrier(out)
 
 
-def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
-    """Bilinear-wrap fetch; atlas_planes [4, H*W] flat channel planes,
-    rec_t [5, Ntex] transposed records (x0, y0, w, h, stride), uv V2 of [N].
-    Returns 4 channel arrays [N].  tex_id < 0 -> default (tuple of 4).
-
-    Fetch strategy (measured on e1m1 512²: naive per-channel per-corner
-    gathers fused into the scan cost ~2.25 ms EACH): one barrier-pinned
-    [4, N] batched gather per channel fetches all four bilinear corners
-    (~28 us standalone) — see _gather_corners for the pathologies this
-    dodges."""
+def _bilinear_setup(rec_t, tex_id, uv: V2):
+    """Corner indices + lerp weights for one texture-id set.
+    Returns (idx4 [4, N] i32, tx, ty)."""
     rec = F.fetch_cols(rec_t, jnp.maximum(tex_id, 0)).astype(jnp.int32)  # [5, N]
     x0 = rec[0]
     y0 = rec[1]
@@ -113,32 +106,72 @@ def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
     i10 = (y0 + ay) * stride + x0 + bx
     i01 = (y0 + by) * stride + x0 + ax
     i11 = (y0 + by) * stride + x0 + bx
-    idx4 = jnp.stack([i00, i10, i01, i11], axis=0)  # [4, N]
+    return jnp.stack([i00, i10, i01, i11], axis=0), tx, ty
 
-    missing = tex_id < 0
+
+def _bilinear_out(corners, tx, ty, missing, default):
+    """corners: 4 arrays [N] per channel -> lerped channels with default."""
     out = []
-    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
-
-    if use_texel_kernel() and fits_texel_kernel(atlas_planes):
-        # one MXU-riding Pallas gather for all 4 corners x 4 channels
-        # (measured vs the XLA per-lane gather at 512²: 12.3 ms vs
-        # ~75-90 ms per fetch round on e1m1's atlas; r4 PERF.md)
-        tex = gather_texels(atlas_planes, idx4)  # [4, 4, N]
-        for c in range(4):
-            t00, t10, t01, t11 = tex[c, 0], tex[c, 1], tex[c, 2], tex[c, 3]
-            top = t00 + (t10 - t00) * tx
-            bot = t01 + (t11 - t01) * tx
-            val = top + (bot - top) * ty
-            out.append(jnp.where(missing, jnp.float32(default[c]), val))
-        return out
-
     for c in range(4):
-        t00, t10, t01, t11 = _gather_corners(atlas_planes[c], idx4)
+        t00, t10, t01, t11 = corners[c]
         top = t00 + (t10 - t00) * tx
         bot = t01 + (t11 - t01) * tx
         val = top + (bot - top) * ty
         out.append(jnp.where(missing, jnp.float32(default[c]), val))
     return out
+
+
+def sample_atlas_bilinear_multi(atlas_planes, rec_t, fetches):
+    """Batched bilinear-wrap fetch of SEVERAL texture-id sets against the
+    same atlas in ONE table gather.
+
+    fetches: list of (tex_id [N] i32, uv V2, default 4-tuple).  Returns a
+    list of 4-channel-array lists, one per fetch.
+
+    The r4 e1m1 profile showed each in-scan gather_texels_pallas call
+    costing ~61 ms regardless of k (per-call overhead dominates), so
+    albedo+rome (+normal) fetches concatenate their corner indices into
+    one k=4*len(fetches) call instead of separate calls."""
+    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+
+    setups = [
+        _bilinear_setup(rec_t, tex_id, uv) for tex_id, uv, _ in fetches
+    ]
+    if use_texel_kernel() and fits_texel_kernel(atlas_planes):
+        # parts=1: texel planes carry RGBA8-grade data (the reference
+        # samples u8/255 textures, sampler.h:52-90) — bf16's 8-bit
+        # mantissa loses nothing, and the gather is 3x fewer MXU passes
+        idx_all = jnp.concatenate([s[0] for s in setups], axis=0)  # [4F, N]
+        tex = gather_texels(atlas_planes, idx_all, parts=1)  # [4, 4F, N]
+        outs = []
+        for fi, ((tex_id, uv, default), (idx4, tx, ty)) in enumerate(
+                zip(fetches, setups)):
+            corners = [
+                tuple(tex[c, 4 * fi + k] for k in range(4)) for c in range(4)
+            ]
+            outs.append(_bilinear_out(corners, tx, ty, tex_id < 0, default))
+        return outs
+
+    outs = []
+    for (tex_id, uv, default), (idx4, tx, ty) in zip(fetches, setups):
+        corners = [_gather_corners(atlas_planes[c], idx4) for c in range(4)]
+        outs.append(_bilinear_out(corners, tx, ty, tex_id < 0, default))
+    return outs
+
+
+def sample_atlas_bilinear(atlas_planes, rec_t, tex_id, uv: V2, default):
+    """Bilinear-wrap fetch; atlas_planes [4, H*W] flat channel planes,
+    rec_t [5, Ntex] transposed records (x0, y0, w, h, stride), uv V2 of [N].
+    Returns 4 channel arrays [N].  tex_id < 0 -> default (tuple of 4).
+
+    Fetch strategy (measured on e1m1 512²: naive per-channel per-corner
+    gathers fused into the scan cost ~2.25 ms EACH): on TPU the corners
+    ride one Pallas table gather (render/table_gather.py); elsewhere one
+    barrier-pinned [4, N] batched gather per channel — see
+    _gather_corners for the pathologies this dodges.  Prefer
+    sample_atlas_bilinear_multi for several fetches per bounce."""
+    return sample_atlas_bilinear_multi(
+        atlas_planes, rec_t, [(tex_id, uv, default)])[0]
 
 
 class HitAttribs(NamedTuple):
@@ -192,11 +225,9 @@ def attribs_from_rows(meta, arrays, rows, hit) -> HitAttribs:
     if meta.textured:
         a_tex = rows[F.ALBEDO_TEX].astype(jnp.int32)
         r_tex = rows[F.ROME_TEX].astype(jnp.int32)
-        a_smp = sample_atlas_bilinear(
-            arrays.atlas_planes, arrays.tex_rec_t, a_tex, uv, (0, 0, 0, 0)
-        )
-        r_smp = sample_atlas_bilinear(
-            arrays.atlas_planes, arrays.tex_rec_t, r_tex, uv, (0, 0, 0, 0)
+        a_smp, r_smp = sample_atlas_bilinear_multi(
+            arrays.atlas_planes, arrays.tex_rec_t,
+            [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))],
         )
         albedo4 = [
             jnp.where(a_tex >= 0, a_smp[c], albedo4[c]) for c in range(4)

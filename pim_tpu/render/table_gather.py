@@ -41,8 +41,9 @@ MAX_TABLE_WORDS = 2 << 20  # Thi * C * 128 f32-equivalent words
 
 
 def _gather_kernel(p3_ref, idx_ref, out_ref, *, thi: int, c: int, k: int,
-                   nchunks: int):
-    """p3_ref [3*Thi, C*128] bf16; idx_ref [R, K] i32; out_ref [R, C*K] f32."""
+                   nchunks: int, parts: int):
+    """p3_ref [parts*Thi, C*128] bf16; idx_ref [R, K] i32;
+    out_ref [R, C*K] f32."""
     r = idx_ref.shape[0]
     cw = c * 128
 
@@ -60,7 +61,7 @@ def _gather_kernel(p3_ref, idx_ref, out_ref, *, thi: int, c: int, k: int,
             row0 = ci * CHUNK_ROWS
             sub = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK_ROWS), 1) + row0
             oh_hi = (sub == ihi).astype(jnp.bfloat16)  # [R, CH]
-            for part in range(3):
+            for part in range(parts):
                 pc = p3_ref[pl.ds(part * thi + row0, CHUNK_ROWS), :]  # [CH, CW]
                 q = q + jnp.dot(oh_hi, pc, preferred_element_type=jnp.float32)
             return q
@@ -71,19 +72,35 @@ def _gather_kernel(p3_ref, idx_ref, out_ref, *, thi: int, c: int, k: int,
         else:
             q = jax.lax.fori_loop(c_lo, c_hi + 1, chunk, q0)
 
+        # per-channel lo-select + 1-wide stores.  A "fused" variant
+        # (reshape [R, C, 128] * oh_lo[:, None, :] + one axis-2 reduce +
+        # one c-wide store) was measured 1.7x SLOWER end-to-end on e1m1
+        # (1351 vs 1070 ms/step, r4) — Mosaic materializes the 3D
+        # broadcast temp badly; keep the 2D slice loop.
         for cc in range(c):
             val = jnp.sum(q[:, cc * 128 : (cc + 1) * 128] * oh_lo,
                           axis=1, keepdims=True)   # [R, 1]
-            out_ref[:, cc * k + kk : cc * k + kk + 1] = val
+            out_ref[:, kk * c + cc : kk * c + cc + 1] = val
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "parts"))
 def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         parts: int = 3) -> jnp.ndarray:
     """planes [C, T] f32, idx [K, N] i32 -> [C, K, N] f32 == planes[:, idx].
 
     Out-of-range indices are clamped into [0, T).  Table values outside
     ±3e38 are clamped (bf16-split domain).
+
+    parts: bf16 split terms, trading MXU passes for mantissa bits.
+      3 = bit-exact f32 (24 bits; f32-encoded ids, vertex-grade data)
+      2 = 16 mantissa bits (relative error < 2^-16)
+      1 = plain bf16 (8 bits) — EXACTLY the reference's texture-grade
+          precision: pim stores textures as RGBA8 and samples u8/255
+          (texture.h:15-60, sampler.h:52-90), so a bf16 fetch of
+          [0,1]-range texels loses nothing the reference ever had.
+          3x fewer MXU passes; the r4 e1m1 profile showed these
+          gathers FLOP-bound at ~560 ms/step.
     """
     c, t = planes.shape
     k, n = idx.shape
@@ -105,7 +122,7 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
     from pim_tpu.render.gather_kernel import _split_bf16_3
 
     p = pp.reshape(c, thi, 128).transpose(1, 0, 2).reshape(thi, c * 128)
-    p3 = jnp.concatenate(_split_bf16_3(p), axis=0)    # [3*Thi, C*128]
+    p3 = jnp.concatenate(_split_bf16_3(p)[:parts], axis=0)  # [parts*Thi, CW]
 
     idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32).T  # [N, K]
     rblock = RAY_BLOCK
@@ -117,7 +134,8 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
         idx2 = jnp.pad(idx2, ((0, 0), (0, kpad - k)))
 
     kernel = functools.partial(
-        _gather_kernel, thi=thi, c=c, k=k, nchunks=thi // CHUNK_ROWS)
+        _gather_kernel, thi=thi, c=c, k=k, nchunks=thi // CHUNK_ROWS,
+        parts=parts)
     ck = c * k
     ckpad = max(8, -(-ck // 8) * 8)
 
@@ -128,7 +146,7 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
         kernel,
         grid=(npad // rblock,),
         in_specs=[
-            pl.BlockSpec((3 * thi, c * 128), lambda i: (0, 0),
+            pl.BlockSpec((parts * thi, c * 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rblock, kpad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -138,8 +156,8 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((npad, ckpad), jnp.float32),
         interpret=interpret,
     )(p3, idx2)
-    # [N, C*K] -> [C, K, N]
-    return out[:n, :ck].T.reshape(c, k, n)
+    # [N, K*C] (kk-major columns) -> [C, K, N]
+    return out[:n, :ck].T.reshape(k, c, n).transpose(1, 0, 2)
 
 
 def use_texel_kernel() -> bool:
@@ -155,9 +173,10 @@ def fits_texel_kernel(planes) -> bool:
     return (tpad // 128) * c * 128 <= MAX_TABLE_WORDS
 
 
-def gather_texels(planes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_texels(planes: jnp.ndarray, idx: jnp.ndarray,
+                  parts: int = 3) -> jnp.ndarray:
     """Dispatch: Pallas on TPU, plain (clamped) take elsewhere."""
     if use_texel_kernel():
-        return gather_texels_pallas(planes, idx)
+        return gather_texels_pallas(planes, idx, parts=parts)
     t = planes.shape[1]
     return jnp.take(planes, jnp.clip(idx, 0, t - 1), axis=1)

@@ -112,6 +112,34 @@ def test_gather_cols_pallas_out_of_range_zeros():
     np.testing.assert_array_equal(out[:, 2], table[:, 3])
 
 
+def test_gather_texels_parts_precision():
+    """parts=1/2 reduced-precision modes return the truncation-split
+    partial sums exactly: parts=1 == top-16-bit truncation (RGBA8-grade),
+    parts=2 == top-32-bit pair (16 mantissa bits)."""
+    from pim_tpu.render.table_gather import gather_texels_pallas
+
+    rng = np.random.default_rng(9)
+    c, t, k, n = 2, 2048, 2, 500
+    planes = rng.uniform(0.0, 1.0, (c, t)).astype(np.float32)
+    idx = rng.integers(0, t, (k, n)).astype(np.int32)
+
+    def trunc(x):
+        return np.frombuffer(
+            (np.frombuffer(x.tobytes(), np.uint32) & 0xFFFF0000).tobytes(),
+            np.float32).reshape(x.shape)
+
+    hi = trunc(planes)
+    mid = trunc(planes - hi)
+    for parts, ref in [(1, hi), (2, hi + mid), (3, planes)]:
+        out = np.asarray(gather_texels_pallas(
+            jnp.asarray(planes), jnp.asarray(idx), interpret=True,
+            parts=parts))
+        np.testing.assert_array_equal(out, ref[:, idx])
+        if parts < 3:
+            err = np.abs(ref - planes) / np.maximum(np.abs(planes), 1e-9)
+            assert err.max() < 2.0 ** (-8 * parts + 1)
+
+
 def test_gather_texels_pallas_bit_exact_interpret():
     """gather_texels_pallas (big-plane two-level kernel) == planes[:, idx]
     bit-exactly, including multi-chunk tables and clamped OOR indices."""
