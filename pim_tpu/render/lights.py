@@ -213,6 +213,7 @@ def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
         alb, rom = sample_atlas_bilinear_multi(
             arrays.atlas_planes, arrays.tex_rec_t,
             [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))],
+            atlas_corners=arrays.atlas_corners,
         )
         albedo = where3(a_tex >= 0, V3(alb[0], alb[1], alb[2]), albedo)
         emit_a = jnp.where(r_tex >= 0, rom[3], emit_a)

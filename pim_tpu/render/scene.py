@@ -56,6 +56,11 @@ class SceneArrays(NamedTuple):
     tri_order: jnp.ndarray
     # textures: flat per-channel planes + transposed records
     atlas_planes: jnp.ndarray  # [4, H*W]
+    # [16, H*W] neighbor-resolved corner planes: rows [corner*4 + channel]
+    # for corners (00, 10, 01, 11), each texel's bilinear neighbors clamped
+    # WITHIN its own sub-texture — one table-gather query then fetches all
+    # four corners of all four channels (r4 texel-kernel FLOP cut)
+    atlas_corners: jnp.ndarray
     tex_rec_t: jnp.ndarray     # [5, Ntex] f32 (x0, y0, w, h, atlas_stride)
     # emissives
     tri_to_emit: jnp.ndarray   # [T] i32
@@ -441,6 +446,32 @@ def bake_light_grid(meta: SceneMeta, arrays: SceneArrays) -> Tuple[jnp.ndarray, 
 # ---------------------------------------------------------------------------
 
 
+def _build_atlas_corner_planes(atlas: np.ndarray, tex_rec: np.ndarray) -> np.ndarray:
+    """[16, H*W] neighbor-resolved corner planes (see SceneArrays field
+    doc).  For every sub-texture record (x0, y0, w, h), each texel's
+    right/down/diag neighbors are clamped to the record's own edges —
+    exactly the i10/i01/i11 corner semantics of sample_atlas_bilinear
+    (x1 = min(x0+1, w-1), sampler.h:176-249), baked into three shifted
+    copies of the atlas so the Pallas gather needs ONE query per fetch
+    instead of four."""
+    h, w = atlas.shape[:2]
+    base = atlas
+    right = atlas.copy()
+    down = atlas.copy()
+    diag = atlas.copy()
+    for (x0, y0, tw, th) in np.asarray(tex_rec, np.int64).reshape(-1, 4):
+        sub = atlas[y0 : y0 + th, x0 : x0 + tw]
+        xs = np.minimum(np.arange(tw) + 1, tw - 1)
+        ys = np.minimum(np.arange(th) + 1, th - 1)
+        right[y0 : y0 + th, x0 : x0 + tw] = sub[:, xs]
+        down[y0 : y0 + th, x0 : x0 + tw] = sub[ys, :]
+        diag[y0 : y0 + th, x0 : x0 + tw] = sub[np.ix_(ys, xs)]
+    out = np.concatenate(
+        [p.reshape(-1, 4).T for p in (base, right, down, diag)], axis=0
+    )  # [16, H*W]
+    return np.ascontiguousarray(out, np.float32)
+
+
 def _resolve_sort_rays(sort_rays, backend: str) -> bool:
     """'auto' = on exactly where block-granular divergence bites: the
     cluster backend on a TPU device (measured on e1m1 512², r4 PERF.md)."""
@@ -565,6 +596,7 @@ def build_scene(
     if tex_rec.shape[0] > 0:
         rec_t[:4] = tex_rec.T.astype(np.float32)
     rec_t[4] = float(atlas_w)
+    atlas_corners = _build_atlas_corner_planes(atlas, tex_rec)
 
     from pim_tpu.render.cluster import build_clusters, dummy_cluster_arrays
 
@@ -587,6 +619,7 @@ def build_scene(
         bvh_b=jnp.asarray(bvh.node_b),
         tri_order=jnp.asarray(bvh.tri_order),
         atlas_planes=jnp.asarray(planes),
+        atlas_corners=jnp.asarray(atlas_corners),
         tex_rec_t=jnp.asarray(rec_t),
         tri_to_emit=jnp.asarray(tri_to_emit[:max(tri_count, 1)]),
         emissive_table=build_emissive_table(flat, atlas, tex_rec, emissive_tris),

@@ -121,26 +121,41 @@ def _bilinear_out(corners, tx, ty, missing, default):
     return out
 
 
-def sample_atlas_bilinear_multi(atlas_planes, rec_t, fetches):
+def sample_atlas_bilinear_multi(atlas_planes, rec_t, fetches,
+                                atlas_corners=None):
     """Batched bilinear-wrap fetch of SEVERAL texture-id sets against the
     same atlas in ONE table gather.
 
     fetches: list of (tex_id [N] i32, uv V2, default 4-tuple).  Returns a
     list of 4-channel-array lists, one per fetch.
 
-    The r4 e1m1 profile showed each in-scan gather_texels_pallas call
-    costing ~61 ms regardless of k (per-call overhead dominates), so
-    albedo+rome (+normal) fetches concatenate their corner indices into
-    one k=4*len(fetches) call instead of separate calls."""
+    With atlas_corners ([16, T] neighbor-resolved corner planes,
+    scene._build_atlas_corner_planes), the TPU kernel needs only the i00
+    query per fetch — all four bilinear corners of all four channels ride
+    one 16-channel gather row (4x fewer one-hot queries at identical MXU
+    FLOPs; the r4 profile showed the per-query overhead, not the matmuls,
+    dominating the texel kernel)."""
     from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
 
     setups = [
         _bilinear_setup(rec_t, tex_id, uv) for tex_id, uv, _ in fetches
     ]
-    if use_texel_kernel() and fits_texel_kernel(atlas_planes):
+    on_tpu = use_texel_kernel()
+    if on_tpu and atlas_corners is not None and fits_texel_kernel(atlas_corners):
         # parts=1: texel planes carry RGBA8-grade data (the reference
         # samples u8/255 textures, sampler.h:52-90) — bf16's 8-bit
-        # mantissa loses nothing, and the gather is 3x fewer MXU passes
+        # mantissa loses nothing
+        idx00 = jnp.stack([s[0][0] for s in setups], axis=0)  # [F, N]
+        tex = gather_texels(atlas_corners, idx00, parts=1)    # [16, F, N]
+        outs = []
+        for fi, ((tex_id, uv, default), (idx4, tx, ty)) in enumerate(
+                zip(fetches, setups)):
+            corners = [
+                tuple(tex[k * 4 + c, fi] for k in range(4)) for c in range(4)
+            ]
+            outs.append(_bilinear_out(corners, tx, ty, tex_id < 0, default))
+        return outs
+    if on_tpu and fits_texel_kernel(atlas_planes):
         idx_all = jnp.concatenate([s[0] for s in setups], axis=0)  # [4F, N]
         tex = gather_texels(atlas_planes, idx_all, parts=1)  # [4, 4F, N]
         outs = []
@@ -228,6 +243,7 @@ def attribs_from_rows(meta, arrays, rows, hit) -> HitAttribs:
         a_smp, r_smp = sample_atlas_bilinear_multi(
             arrays.atlas_planes, arrays.tex_rec_t,
             [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))],
+            atlas_corners=arrays.atlas_corners,
         )
         albedo4 = [
             jnp.where(a_tex >= 0, a_smp[c], albedo4[c]) for c in range(4)
@@ -266,9 +282,11 @@ def get_surface(meta, arrays, ro: V3, rd: V3, hit, attribs: HitAttribs = None) -
     n = at.m
     if meta.has_normal_maps:
         nm_tex = at.rows[F.NORMAL_TEX].astype(jnp.int32)
-        nm = sample_atlas_bilinear(
-            arrays.atlas_planes, arrays.tex_rec_t, nm_tex, at.uv, (0.0, 0.0, 1.0, 0.0)
-        )
+        nm = sample_atlas_bilinear_multi(
+            arrays.atlas_planes, arrays.tex_rec_t,
+            [(nm_tex, at.uv, (0.0, 0.0, 1.0, 0.0))],
+            atlas_corners=arrays.atlas_corners,
+        )[0]
         nz = jnp.sqrt(jnp.maximum(1.0 - (nm[0] * nm[0] + nm[1] * nm[1]), 1e-6))
         n_ts = V3(nm[0], nm[1], nz)
         n_mapped = fix_shading_normal(at.m, tan_to_world(at.m, n_ts))

@@ -125,7 +125,15 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
     p3 = jnp.concatenate(_split_bf16_3(p)[:parts], axis=0)  # [parts*Thi, CW]
 
     idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32).T  # [N, K]
+    # VMEM-aware ray block: the per-query accumulator q is [R, C*128] f32
+    # and must fit beside the bf16 table and the out block (wide-channel
+    # corner tables at C=16 overflow the ~16MB budget at R=1024 — the
+    # remote compiler rejects the kernel)
     rblock = RAY_BLOCK
+    budget = (10 << 20) // 4  # f32 words
+    table_words = parts * thi * c * 128 // 2
+    while rblock > 256 and table_words + rblock * (2 * c * 128 + k + c * k) > budget:
+        rblock //= 2
     npad = -(-n // rblock) * rblock
     if npad != n:
         idx2 = jnp.pad(idx2, ((0, npad - n), (0, 0)))

@@ -207,7 +207,17 @@ def main():
         f"Device: {dev.device_kind}; {WIDTH}x{HEIGHT}, {MAX_BOUNCES} bounces, 1 spp/step.\n"
         "Trace: `jax.profiler.trace` over 2 steps, XLA-op rows aggregated by fusion name\n"
         "(tools/make_perf_table.py; analog of the reference profiler table,\n"
-        "/root/reference/src/common/profiler.c:24-128).\n"
+        "/root/reference/src/common/profiler.c:24-128).\n\n"
+        "Reading the tables: `jit_step`/`while` rows are PARENTS (their time\n"
+        "contains the leaf ops below), so \"device op time\" double-counts;\n"
+        "\"wall per step\" is the ground truth and matches bench.py.  The r4\n"
+        "e1m1 wall came down 3031 -> ~1034 ms via ray sorting (intersect\n"
+        "kernels 890 -> 160 ms/step), Pallas table-gathers for atlas/sky/slot\n"
+        "fetches, reduced-parts bf16 splits (reference textures are\n"
+        "RGBA8-grade), neighbor-resolved corner planes (1 query per bilinear\n"
+        "fetch), and replacing [6,3] face-basis gathers in sky sampling with\n"
+        "arithmetic selects (a per-lane gather from a tiny constant table\n"
+        "lowers to a ~25 ms full-wavefront XLA gather).\n"
     )
     with open(out_md, "w") as f:
         f.write(header + "\n" + "\n\n".join(sections) + "\n")
