@@ -31,6 +31,12 @@ WIDTH = HEIGHT = 512
 MAX_BOUNCES = 10
 WARMUP = 3
 ITERS = 10
+# samples per dispatched step: the cornell device time is ~18 ms/sample
+# but each dispatch through the remote-TPU tunnel pays ~25 ms of host
+# latency (PERF.md: wall 43 ms vs device 17.8).  Batching spp inside one
+# jit call (a standard progressive multi-spp frame) amortizes it; radiance
+# is the mean of independent 1-spp traces with distinct sample indices.
+SPP_PER_STEP = 4
 
 
 def _measure(step, arrays, lights, ca, iters=ITERS, warmup=WARMUP):
@@ -76,10 +82,19 @@ def _bench_cornell():
 
     @jax.jit
     def step(arrays, lights, cam, sample_idx):
-        state = rng.make_state(jnp.arange(n, dtype=jnp.uint32), sample_idx)
-        state, ro, rd = generate_primary_rays(cam, WIDTH, HEIGHT, state)
-        res = trace_rays(meta, arrays, lights, ro, rd, state, MAX_BOUNCES)
-        return res.color, res.rays_traced
+        def one(i, carry):
+            acc, rays = carry
+            state = rng.make_state(
+                jnp.arange(n, dtype=jnp.uint32),
+                sample_idx * SPP_PER_STEP + i)
+            state, ro, rd = generate_primary_rays(cam, WIDTH, HEIGHT, state)
+            res = trace_rays(meta, arrays, lights, ro, rd, state, MAX_BOUNCES)
+            return acc + res.color, rays + res.rays_traced
+
+        acc, rays = jax.lax.fori_loop(
+            0, SPP_PER_STEP, one,
+            (jnp.zeros((n, 3), jnp.float32), jnp.float32(0.0)))
+        return acc * (1.0 / SPP_PER_STEP), rays
 
     mrays, step_s = _measure(step, arrays, lights, ca)
     return mrays, step_s

@@ -43,6 +43,12 @@ cv_pt_max_bounces = cvar(
 )
 cv_pt_nee = cvar("pt_nee", CVarType.Bool, True, "next-event estimation on/off")
 cv_pt_media = cvar("pt_media", CVarType.Bool, False, "heterogeneous participating media")
+cv_pt_spp = cvar(
+    "pt_spp", CVarType.Int, 1,
+    "samples per progressive frame step (batched inside one compiled "
+    "step; amortizes per-dispatch host latency — the exact mean of "
+    "pt_spp independent 1-spp samples)", 1, 64, SAVE,
+)
 cv_pt_seed = cvar(
     "pt_seed", CVarType.Int, 0x9E3779B9,
     "base seed of the per-ray rng streams (ref: per-thread Prng seeding, "

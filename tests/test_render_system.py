@@ -142,3 +142,26 @@ def test_pt_gate(rs):
     q.enqueue("pt_gate -maxstddev 1e-9")
     q.update()
     assert q.error_count == before + 1
+
+
+def test_pt_spp_batching_matches_sequential(rs):
+    """pt_spp=2 (one batched step) equals two sequential 1-spp frames:
+    identical sample streams, same running mean (float-order tolerance)."""
+    _frames(rs, 4)
+    seq = np.asarray(rs.buffers.color).copy()
+    assert rs.sample_count == 4
+
+    cv.cv_pt_spp.set(2)
+    try:
+        fresh = RenderSystem(width=W, height=H)
+        fresh.init()
+        fresh.entities, fresh.pool = rs.entities, rs.pool
+        fresh.camera.position = np.asarray(rs.camera.position).copy()
+        fresh.camera.rotation = np.asarray(rs.camera.rotation).copy()
+        fresh.dof.autofocus = False
+        _frames(fresh, 2)
+        assert fresh.sample_count == 4
+        np.testing.assert_allclose(np.asarray(fresh.buffers.color), seq,
+                                   rtol=2e-5, atol=2e-6)
+    finally:
+        cv.cv_pt_spp.set(1)
