@@ -16,10 +16,9 @@ Key = (dead?, origin cell id, direction octant):
   * 3-bit octant splits opposing directions, the main divergence axis
     for cluster bbox rejection.
 
-The permutation is applied to the 8 ray lanes with ONE stacked
-barrier-pinned gather, and the 2 result lanes come back through the
-precomputed inverse permutation (gather, not scatter — measured faster;
-see tools/bench_sort.py).  Radiance is bit-identical either way: a lane's
+Both directions ride `jax.lax.sort` with the lanes as payload operands
+(see sorted_rays — in-scan XLA gathers cost ~1000x their standalone
+time; sorts do not).  Radiance is bit-identical either way: a lane's
 RNG state and payload never move, only the order rays are presented to
 the intersector.
 """
@@ -58,58 +57,35 @@ def sort_perm(keys: jnp.ndarray):
     return perm, inv
 
 
-def _stacked_take(rows, perm):
-    """One pinned [F, N] gather (XLA otherwise fuses per-row takes into
-    serialized loop fusions inside the bounce scan — the integrator's
-    _permute_carry pathology)."""
-    stacked = jnp.stack(rows, axis=0)
-    stacked, perm = jax.lax.optimization_barrier((stacked, perm))
-    out = jnp.take(stacked, perm, axis=1)
-    return jax.lax.optimization_barrier(out)
-
-
 def sorted_rays(grid_spec, ro: V3, rd: V3, t_near, t_far):
     """Sort a wavefront for coherence.  Returns (ro', rd', t_near',
-    t_far', inv_perm); apply `unsort_*` with inv_perm to results."""
+    t_far', pos); apply `unsort_rows` with pos to results.
+
+    The permutation is carried BY jax.lax.sort itself — the ray lanes
+    ride as payload operands of the key sort, and `pos` (the original
+    index of each sorted lane) key-sorts the results back.  NO gather is
+    involved: measured in-scan, an XLA take of [8, N] by a permutation
+    costs ~25 ms at 512² (the compiler picks a transposing gather layout
+    inside the while body; the same take standalone is 0.027 ms —
+    tools/bench_sort.py), while multi-operand sorts stay fast.  Payload
+    ints ride natively, so no NaN-prone f32 bitcasts either (the r4 sort
+    A/B caught TPU float datapaths canonicalizing -1 id payloads)."""
     n = ro.x.shape[0]
     t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (n,))
     t_far = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
     keys = sort_rays_key(grid_spec, ro, rd, t_far)
-    perm, inv = sort_perm(keys)
-    g = _stacked_take(
-        [ro.x, ro.y, ro.z, t_near, rd.x, rd.y, rd.z, t_far], perm)
-    ro2 = V3(g[0], g[1], g[2])
-    rd2 = V3(g[4], g[5], g[6])
-    return ro2, rd2, g[3], g[7], inv
+    iota = jnp.arange(n, dtype=jnp.int32)
+    (_, rox, roy, roz, tn2, rdx, rdy, rdz, tf2, pos) = jax.lax.sort(
+        (keys, ro.x, ro.y, ro.z, t_near, rd.x, rd.y, rd.z, t_far, iota),
+        num_keys=1,
+    )
+    return V3(rox, roy, roz), V3(rdx, rdy, rdz), tn2, tf2, pos
 
 
-def unsort_rows(rows, inv_perm):
-    """Restore original lane order for a list of [N] result arrays.
-
-    Rows are gathered in dtype groups: floats in one stacked take, ints
-    (i32/u32/bool) in a second integer take.  NEVER bitcast ints through
-    f32 for the gather: integer bit patterns like -1 (0xFFFFFFFF) are
-    NaNs, and TPU float datapaths canonicalize NaN payloads — the r4 sort
-    A/B caught tri ids being silently rewritten on device (CPU/interpret
-    preserves payloads, so only hardware runs trip it)."""
-    f_idx = [i for i, r in enumerate(rows) if r.dtype == jnp.float32]
-    i_idx = [i for i, r in enumerate(rows) if r.dtype != jnp.float32]
-    out = [None] * len(rows)
-    if f_idx:
-        g = _stacked_take([rows[i] for i in f_idx], inv_perm)
-        for j, i in enumerate(f_idx):
-            out[i] = g[j]
-    if i_idx:
-        def to_u32(a):
-            if a.dtype == jnp.bool_:
-                return a.astype(jnp.uint32)
-            return jax.lax.bitcast_convert_type(a, jnp.uint32)
-
-        g = _stacked_take([to_u32(rows[i]) for i in i_idx], inv_perm)
-        for j, i in enumerate(i_idx):
-            dt = rows[i].dtype
-            if dt == jnp.bool_:
-                out[i] = g[j] > 0
-            else:
-                out[i] = jax.lax.bitcast_convert_type(g[j], dt)
-    return out
+def unsort_rows(rows, pos):
+    """Restore original lane order for a list of [N] result arrays by
+    key-sorting them on `pos` (each sorted lane's original index) — the
+    stable sort by a permutation of iota IS the inverse permutation,
+    with every row as native-dtype payload (no gathers, no bitcasts)."""
+    out = jax.lax.sort((pos, *rows), num_keys=1)
+    return list(out[1:])

@@ -63,13 +63,18 @@ def test_keys_group_by_octant_and_cell():
 
 
 def test_unsort_rows_int_payloads():
+    """unsort_rows key-sorts on `pos` (each sorted lane's original index,
+    i.e. the forward perm) with native-dtype payloads."""
     rng = np.random.default_rng(0)
     vals = jnp.asarray(rng.integers(-5, 1 << 30, 777).astype(np.int32))
+    bools = jnp.asarray(rng.random(777) < 0.5)
     keys = jnp.asarray(rng.integers(0, 64, 777).astype(np.int32))
-    perm, inv = sort_perm(keys)
+    perm, _ = sort_perm(keys)
     sorted_vals = jnp.take(vals, perm)
-    back = unsort_rows([sorted_vals], inv)[0]
-    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+    sorted_bools = jnp.take(bools, perm)
+    bi, bb = unsort_rows([sorted_vals, sorted_bools], perm)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(bb), np.asarray(bools))
 
 
 def test_cluster_backend_sorted_matches_unsorted():
