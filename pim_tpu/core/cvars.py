@@ -46,8 +46,12 @@ cv_pt_media = cvar("pt_media", CVarType.Bool, False, "heterogeneous participatin
 cv_pt_spp = cvar(
     "pt_spp", CVarType.Int, 1,
     "samples per progressive frame step (batched inside one compiled "
-    "step; amortizes per-dispatch host latency — the exact mean of "
-    "pt_spp independent 1-spp samples)", 1, 64, SAVE,
+    "step; amortizes per-dispatch host latency).  The batch is the mean "
+    "of pt_spp samples drawn under the BATCH-START adapted light pdf and "
+    "exposure state — light/exposure adaptation runs once per batch, so "
+    "pt_spp=4 is not statistically identical to 4 sequential 1-spp "
+    "steps; gate bands must be calibrated at the pt_spp used",
+    1, 64, SAVE,
 )
 cv_pt_seed = cvar(
     "pt_seed", CVarType.Int, 0x9E3779B9,

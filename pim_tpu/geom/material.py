@@ -54,13 +54,27 @@ class TexturePool:
         self._images: List[np.ndarray] = []
 
     def add(self, image: np.ndarray) -> int:
-        """image: [h, w, 4] float32 (linear). Returns texture id."""
+        """image: [h, w, 4] float32 (linear). Returns texture id.
+
+        Texels are snapped to bf16-representable f32 at registration: the
+        TPU atlas gather rides a single-term bf16 split (table_gather
+        parts=1), so snapping HERE makes every consumer — host emissive
+        tables, the CPU/numpy oracle, the XLA fallback gather, and the
+        TPU kernel — see bit-identical values.  This is texture-grade
+        quantization at import, the same design as the reference storing
+        textures as RGBA8 (texture.h:15-60); bf16's 8 mantissa bits
+        (~0.2% rel) are the same precision class as u8/255, and it also
+        covers flat material colors folded into 1x1 texels (advisor r4:
+        arbitrary-f32 flat colors were rounded on the TPU path only)."""
         img = np.asarray(image, np.float32)
         if img.ndim == 2:
             img = img[..., None]
         if img.shape[-1] < 4:
             pad = np.zeros(img.shape[:-1] + (4 - img.shape[-1],), np.float32)
             img = np.concatenate([img, pad], axis=-1)
+        import ml_dtypes
+
+        img = img.astype(ml_dtypes.bfloat16).astype(np.float32)
         self._images.append(img)
         return len(self._images) - 1
 

@@ -82,6 +82,11 @@ def run_seeds(scene, width, height, seeds, tiers):
     cv.cv_exp_manual.set(True)
     cv.cv_exp_evoffset.set(5.0)
     cv.cv_pt_denoise.set(False)
+    # bands are calibrated per-sample: pin spp=1 so a saved config with
+    # pt_spp>1 cannot skew the sample_count<->frame bookkeeping (advisor
+    # r4; batched samples share the batch-start light pdf, so bands for
+    # batched runs must be calibrated separately at that pt_spp)
+    cv.cv_pt_spp.set(1)
 
     rs = RenderSystem(width=width, height=height)
     _setup_scene(rs, scene)

@@ -1,15 +1,23 @@
 """Generate PERF.md: the committed per-kernel time table for one Cornell
-512² step and one e1m1 512² step (VERDICT r2/r3 item; ref analog: the
-profiler's per-mark mean/variance table, /root/reference/src/common/
+512² step and one e1m1 512² step (VERDICT r2/r3/r4 item; ref analog: the
+profiler's per-mark mean/variance tree, /root/reference/src/common/
 profiler.c:24-128).
 
-Usage: python tools/make_perf_table.py [out_md] [--quick]
+Usage: python tools/make_perf_table.py [out_md]
 
-Captures a jax.profiler trace of 2 steps per config on the default device,
-aggregates XLA op time by fusion name, groups ops into subsystem buckets
-(intersect / anyhit / fetch / light-table / sort / other), and writes a
-markdown artifact.  Re-run this tool to regenerate PERF.md after kernel
-changes.
+r5 rework (VERDICT r4 weak #3 — "PERF.md double-counts and
+under-attributes"):
+  * SELF time, not inclusive time: events on each device timeline are
+    nested by interval containment and every op's direct-children time is
+    subtracted, so parent rows (`jit_step`, `while`) no longer dominate
+    the table and the rows sum to the timeline (no double counting).
+  * Subsystem attribution via the profiler's `source_stack` arg (each XLA
+    op carries its originating Python stack): fusions map to
+    sky / nee-light / bsdf / media / surface-fetch / raygen / intersect /
+    sort / integrator-glue… instead of a 44-50% "other" bucket.  This is
+    strictly stronger than jax.named_scope annotations (the alternative
+    the verdict suggested): it needs no code changes and attributes ops
+    the scopes would miss.
 """
 
 from __future__ import annotations
@@ -36,11 +44,10 @@ WIDTH = HEIGHT = 512
 MAX_BOUNCES = 10
 
 
-def parse_trace(root: str):
-    """-> (rows sorted by total time desc, total_ms). Row: (name, ms, count)."""
+def load_events(root: str):
     paths = sorted(glob.glob(root + "/plugins/profile/*/*.trace.json.gz"))
     if not paths:
-        return [], 0.0
+        return []
     with gzip.open(paths[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
@@ -51,9 +58,7 @@ def parse_trace(root: str):
             pid_names[e["pid"]] = e["args"].get("name", "")
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
-    tot = defaultdict(float)
-    cnt = defaultdict(int)
-    total = 0.0
+    out = []
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -61,38 +66,105 @@ def parse_trace(root: str):
         tidname = tid_names.get((e.get("pid"), e.get("tid")), "")
         if "TPU" not in pidname and "tpu" not in pidname.lower():
             continue
-        if "XLA" not in tidname:
+        # "XLA Ops" only: "XLA Modules" rows (jit_step) duplicate the whole
+        # step on a separate timeline and have no children to subtract
+        if tidname not in ("XLA Ops", "Async XLA Ops"):
             continue
-        name = e.get("name", "?")
-        dur = float(e.get("dur", 0.0)) / 1e3  # ms
-        tot[name] += dur
-        cnt[name] += 1
-        total += dur
-    rows = sorted(((k, v, cnt[k]) for k, v in tot.items()), key=lambda r: -r[1])
-    return rows, total
+        out.append(e)
+    return out
 
 
-BUCKETS = [
-    ("intersect(closest)", re.compile(r"_isect_kernel|intersect_pallas|_mt_kernel")),
-    ("anyhit(shadow)", re.compile(r"_anyhit_kernel|occluded")),
-    ("attr-fetch/gather", re.compile(r"_gather_kernel|gather|take|dynamic-gather")),
-    ("sort(ray-coherence)", re.compile(r"sort|Sort")),
-    ("top_k(light-table)", re.compile(r"top-k|TopK|top_k")),
-    ("scatter(light-hist)", re.compile(r"scatter")),
-    ("fusion(shading/misc)", re.compile(r"fusion|convert|copy|transpose|reduce|broadcast|bitcast|iota|select|concatenate|dot|while|dynamic")),
+def self_times(events):
+    """Self (exclusive) duration per event via interval nesting on each
+    (pid, tid) timeline.  Device timelines nest or are disjoint; a small
+    epsilon tolerates float jitter at the edges."""
+    per_tid = defaultdict(list)
+    for e in events:
+        per_tid[(e["pid"], e["tid"])].append(e)
+    eps = 1e-6
+    rows = []  # (event, self_dur_ms)
+    for tl in per_tid.values():
+        tl.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # (end_ts, child_sum_accumulator index into rows)
+        for e in tl:
+            ts = e["ts"]
+            dur = float(e.get("dur", 0.0))
+            end = ts + dur
+            while stack and ts >= stack[-1][0] - eps:
+                stack.pop()
+            if stack:
+                # direct parent absorbs this child's duration
+                parent_idx = stack[-1][1]
+                rows[parent_idx][1] -= dur
+            rows.append([e, dur])
+            stack.append((end, len(rows) - 1))
+    return [(e, max(s, 0.0) / 1e3) for e, s in rows]  # ms
+
+
+# subsystem mapping by source file; PRIORITY order decides when a stack
+# crosses several (e.g. an atlas gather reached via sky.py is "sky")
+_SUBSYSTEMS = [
+    ("sky", re.compile(r"render/sky\.py")),
+    ("media", re.compile(r"render/media\.py")),
+    ("nee-light", re.compile(r"render/lights\.py")),
+    ("bsdf", re.compile(r"render/bsdf\.py|math/brdf\.py")),
+    ("exposure", re.compile(r"render/exposure\.py")),
+    ("raygen", re.compile(r"render/camera\.py")),
+    ("raysort", re.compile(r"render/raysort\.py")),
+    ("intersect", re.compile(r"render/cluster\.py|render/pallas_kernels\.py|render/intersect\.py")),
+    ("surface-fetch", re.compile(r"render/surface\.py|render/fetch\.py")),
+    ("table-gather", re.compile(r"render/table_gather\.py|render/gather_kernel\.py")),
+    ("light-learn", re.compile(r"math/dist1d\.py|math/grid\.py")),
+    ("sampling", re.compile(r"math/sampling\.py")),
+    ("integrator-glue", re.compile(r"render/integrator\.py|render/scene\.py")),
+    ("rng", re.compile(r"core/rng\.py")),
+    ("vec-math", re.compile(r"math/vec3?\.py")),
 ]
 
 
-def bucketize(rows):
-    b = defaultdict(float)
-    for name, ms, _ in rows:
-        for label, pat in BUCKETS:
-            if pat.search(name):
-                b[label] += ms
-                break
-        else:
-            b["other"] += ms
-    return sorted(b.items(), key=lambda kv: -kv[1])
+def classify(e):
+    name = e.get("name", "?")
+    args = e.get("args", {}) or {}
+    stack = args.get("source_stack", "") or args.get("source", "") or ""
+    # deepest frame first: scan ALL frames, pick the highest-priority hit
+    best = None
+    best_rank = len(_SUBSYSTEMS)
+    for rank, (label, pat) in enumerate(_SUBSYSTEMS):
+        if pat.search(stack):
+            if rank < best_rank:
+                best, best_rank = label, rank
+    if best is not None:
+        # split intersect into closest/anyhit by kernel name
+        if best == "intersect" and ("anyhit" in name or "occluded" in name):
+            return "anyhit(shadow)"
+        return best
+    if re.search(r"^while|^jit_|^body|^cond", name):
+        return "scan-overhead"
+    if re.search(r"copy|bitcast", name):
+        return "copy/layout"
+    if re.search(r"^sort", name):
+        return "raysort"
+    return "unattributed"
+
+
+def aggregate(rows):
+    """rows: (event, self_ms) -> (by_name, by_subsys, total_self_ms)."""
+    by_name = defaultdict(lambda: [0.0, 0])
+    by_sub = defaultdict(float)
+    total = 0.0
+    for e, ms in rows:
+        name = e.get("name", "?")
+        sub = classify(e)
+        by_name[name][0] += ms
+        by_name[name][1] += 1
+        by_name[name].append(sub) if len(by_name[name]) == 2 else None
+        by_sub[sub] += ms
+        total += ms
+    names = sorted(
+        ((k, v[0], v[1], v[2] if len(v) > 2 else "?") for k, v in by_name.items()),
+        key=lambda r: -r[1])
+    subs = sorted(by_sub.items(), key=lambda kv: -kv[1])
+    return names, subs, total
 
 
 def profile_config(tag, step_fn, steps=2, trace_dir=None):
@@ -107,10 +179,9 @@ def profile_config(tag, step_fn, steps=2, trace_dir=None):
         for i in range(steps):
             c = step_fn(jnp.uint32(2 + i))
         jax.block_until_ready(c)
-    rows, total = parse_trace(trace_dir)
-    # normalize to per-step ms
-    rows = [(n, ms / steps, c // steps if c >= steps else c) for n, ms, c in rows]
-    return rows, total / steps, step_ms
+    rows = self_times(load_events(trace_dir))
+    rows = [(e, ms / steps) for e, ms in rows]
+    return rows, step_ms
 
 
 def build_cornell_step():
@@ -170,12 +241,12 @@ def build_e1m1_step():
     return step, meta
 
 
-def fmt_table(rows, top=25):
-    lines = ["| op (XLA fusion / Pallas kernel) | ms/step | calls | % |",
-             "|---|---|---|---|"]
-    tot = sum(r[1] for r in rows) or 1e-9
-    for name, ms, c in rows[:top]:
-        lines.append(f"| `{name[:70]}` | {ms:.2f} | {c} | {100*ms/tot:.1f} |")
+def fmt_table(names, top=25):
+    lines = ["| op (XLA fusion / Pallas kernel) | self ms/step | calls | subsystem | % |",
+             "|---|---|---|---|---|"]
+    tot = sum(r[1] for r in names) or 1e-9
+    for name, ms, c, sub in names[:top]:
+        lines.append(f"| `{name[:60]}` | {ms:.2f} | {c} | {sub} | {100*ms/tot:.1f} |")
     return "\n".join(lines)
 
 
@@ -185,39 +256,35 @@ def main():
     sections = []
     for tag, builder in (("cornell", build_cornell_step), ("e1m1", build_e1m1_step)):
         step, meta = builder()
-        rows, dev_ms, wall_ms = profile_config(tag, step)
-        buckets = bucketize(rows)
+        rows, wall_ms = profile_config(tag, step)
+        names, subs, total = aggregate(rows)
         sec = [f"## {tag} 512² ({meta.tri_count} tris, backend={meta.backend})",
                "",
-               f"Wall per step: **{wall_ms:.1f} ms**; device op time: {dev_ms:.1f} ms/step.",
+               f"Wall per step: **{wall_ms:.1f} ms**; device self-time sum: "
+               f"{total:.1f} ms/step (self-times sum to the busy timeline — "
+               "no parent double-counting; wall − device = dispatch/host gaps).",
                "",
-               "Subsystem buckets:",
+               "Subsystem buckets (source-stack attribution):",
                "",
-               "| bucket | ms/step | % |", "|---|---|---|"]
-        for label, ms in buckets:
-            sec.append(f"| {label} | {ms:.2f} | {100*ms/max(dev_ms,1e-9):.1f} |")
-        sec += ["", "Top ops:", "", fmt_table(rows)]
+               "| subsystem | self ms/step | % of device |", "|---|---|---|"]
+        for label, ms in subs:
+            sec.append(f"| {label} | {ms:.2f} | {100*ms/max(total,1e-9):.1f} |")
+        sec += ["", "Top ops (self time):", "", fmt_table(names)]
         sections.append("\n".join(sec))
-        print(f"[{tag}] wall {wall_ms:.1f} ms/step  device {dev_ms:.1f} ms/step")
-        for label, ms in buckets[:6]:
+        print(f"[{tag}] wall {wall_ms:.1f} ms/step  device-self {total:.1f} ms/step")
+        for label, ms in subs[:10]:
             print(f"   {label:24s} {ms:8.2f} ms")
 
     header = (
         "# PERF — per-kernel time tables (regenerate: `python tools/make_perf_table.py`)\n\n"
         f"Device: {dev.device_kind}; {WIDTH}x{HEIGHT}, {MAX_BOUNCES} bounces, 1 spp/step.\n"
-        "Trace: `jax.profiler.trace` over 2 steps, XLA-op rows aggregated by fusion name\n"
-        "(tools/make_perf_table.py; analog of the reference profiler table,\n"
-        "/root/reference/src/common/profiler.c:24-128).\n\n"
-        "Reading the tables: `jit_step`/`while` rows are PARENTS (their time\n"
-        "contains the leaf ops below), so \"device op time\" double-counts;\n"
-        "\"wall per step\" is the ground truth and matches bench.py.  The r4\n"
-        "e1m1 wall came down 3031 -> ~1034 ms via ray sorting (intersect\n"
-        "kernels 890 -> 160 ms/step), Pallas table-gathers for atlas/sky/slot\n"
-        "fetches, reduced-parts bf16 splits (reference textures are\n"
-        "RGBA8-grade), neighbor-resolved corner planes (1 query per bilinear\n"
-        "fetch), and replacing [6,3] face-basis gathers in sky sampling with\n"
-        "arithmetic selects (a per-lane gather from a tiny constant table\n"
-        "lowers to a ~25 ms full-wavefront XLA gather).\n"
+        "Trace: `jax.profiler.trace` over 2 steps.  All rows are SELF time\n"
+        "(direct-children time subtracted via interval nesting), so rows sum\n"
+        "to the device-busy timeline with no parent double-counting, and every\n"
+        "op is attributed to a subsystem by its `source_stack` (the Python\n"
+        "frames that traced it) — tools/make_perf_table.py; analog of the\n"
+        "reference profiler tree, /root/reference/src/common/profiler.c:24-128.\n"
+        "\"Wall per step\" is the ground truth that matches bench.py.\n"
     )
     with open(out_md, "w") as f:
         f.write(header + "\n" + "\n\n".join(sections) + "\n")
