@@ -75,6 +75,8 @@ from pim_tpu.render.surface import (
     fetch_hit_attribs,
     get_emission_from_attribs,
     get_surface,
+    pack_sampled,
+    sampled_rows,
 )
 
 
@@ -193,11 +195,12 @@ def _evaluate_light(meta, arrays, light_table, state, p: V3):
     return state, lum, ls.dir, ok
 
 
-def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd: V3) -> V3:
+def _sky_radiance(meta: SceneMeta, arrays: SceneArrays, rd: V3,
+                  active=None) -> V3:
     if meta.has_sky:
         from pim_tpu.render.sky import sample_sky_cubemap_soa
 
-        return sample_sky_cubemap_soa(arrays.sky, rd)
+        return sample_sky_cubemap_soa(arrays.sky, rd, active=active)
     return V3.zeros(rd.x.shape)
 
 
@@ -211,11 +214,21 @@ def _finish_segment(meta, arrays, light_table, media_desc, state,
 
     `emis_w` is the per-lane weight for the emission at this segment's hit
     (1 for primary rays / refractive chains; the MIS power-heuristic weight
-    from the BSDF sample otherwise)."""
+    from the BSDF sample otherwise).
+
+    Returns the sampled sky radiance as its last element so callers can
+    CARRY it to the next bounce's get_surface — the cubemap is gathered
+    once per segment instead of three times (miss path, sky-surface
+    emission, next-bounce surface build all see the same (sky, rd) pair;
+    media-scattered lanes change rd mid-segment but never consume surface
+    emission — surf_alive excludes them — so the reuse is exact)."""
     n = ro.x.shape[0]
     missed = hit.tri < 0
 
-    sky = _sky_radiance(meta, arrays, rd)
+    # sky consumers: miss lanes + sky-flagged surfaces (their emission) —
+    # everything else gets a masked-out zero the alive gates discard
+    sky_need = alive & (missed | ((at.flags & int(MatFlag.SKY)) != 0))
+    sky = _sky_radiance(meta, arrays, rd, active=sky_need)
     lum = lum + atten * sky * (alive & missed).astype(jnp.float32)
 
     media_scattered = jnp.zeros((n,), bool)
@@ -249,7 +262,7 @@ def _finish_segment(meta, arrays, light_table, media_desc, state,
     alive = alive & (media_scattered | (~missed & ~dead_backface))
     surf_alive = alive & ~media_scattered
 
-    emission = get_emission_from_attribs(meta, arrays, rd, at)
+    emission = get_emission_from_attribs(meta, arrays, rd, at, sky_col=sky)
 
     if meta.emissive_count > 0 and not is_primary:
         cell = grid_index_soa(meta.grid_spec(arrays.grid_lo), ro)
@@ -261,7 +274,7 @@ def _finish_segment(meta, arrays, light_table, media_desc, state,
     is_sky_surf = (at.flags & int(MatFlag.SKY)) != 0
     alive = alive & (media_scattered | ~is_sky_surf)
 
-    return state, ro, rd, atten, lum, alive, media_scattered, live
+    return state, ro, rd, atten, lum, alive, media_scattered, live, sky
 
 
 def trace_rays(
@@ -335,7 +348,7 @@ def trace_rays(
     rays0 = jnp.float32(n)
     hit0 = scene_intersect(meta, arrays, ro, rd, 0.0, RCP_EPS)
     at0 = fetch_hit_attribs(meta, arrays, hit0)
-    state, ro, rd, atten0, lum0, alive0, mskip0, live0 = _finish_segment(
+    state, ro, rd, atten0, lum0, alive0, mskip0, live0, sky0 = _finish_segment(
         meta, arrays, light_table, media_desc, state, ro, rd, hit0, at0,
         V3.ones((n,)), V3.zeros((n,)), alive0, live0,
         jnp.float32(1.0), is_primary=True,
@@ -358,6 +371,12 @@ def trace_rays(
         live=live0,
         rays=rays0,
     )
+    # atlas-sampled channels + sky travel with the hit (one atlas gather
+    # and one cubemap gather per bounce instead of 3+2 — r5 perf fix)
+    if sampled_rows(meta) > 0:
+        init["tex"] = pack_sampled(meta, at0)
+    if meta.has_sky:
+        init["sky"] = sky0
 
     def bounce(carry, b):
         del b
@@ -376,8 +395,10 @@ def trace_rays(
             ng=V3(carry["ngx"], carry["ngy"], carry["ngz"]),
         )
 
-        at = attribs_from_rows(meta, arrays, carry["rows"], hit)
-        surf = get_surface(meta, arrays, ro, rd, hit, attribs=at)
+        at = attribs_from_rows(meta, arrays, carry["rows"], hit,
+                               sampled=carry.get("tex"))
+        surf = get_surface(meta, arrays, ro, rd, hit, attribs=at,
+                           sky_col=carry.get("sky"))
         surf_alive = alive & ~media_skip
 
         # --- NEE: light strategy, one any-hit shadow ray (ref :1849-1890)
@@ -451,26 +472,28 @@ def trace_rays(
         emis_w = jnp.where(media_skip, 0.0, emis_w)
 
         live = carry["live"]
-        state, ro3, rd3, atten, lum, alive3, mskip, live = _finish_segment(
+        state, ro3, rd3, atten, lum, alive3, mskip, live, sky2 = _finish_segment(
             meta, arrays, light_table, media_desc, state, ro2, rd2, hit2, at2,
             atten, lum, alive2, live, emis_w, is_primary=False,
         )
 
-        return (
-            dict(
-                ro=ro3, rd=rd3,
-                t=hit2.t, tri=hit2.tri, u=hit2.u, v=hit2.v,
-                backface=hit2.backface,
-                ngx=hit2.ng.x, ngy=hit2.ng.y, ngz=hit2.ng.z,
-                rows=at2.rows,
-                state=state, lum=lum, atten=atten, alive=alive3,
-                media_skip=mskip,
-                aov_albedo=aov_albedo, aov_normal=aov_normal,
-                aov_weight=aov_weight, pixel=carry["pixel"],
-                live=live, rays=rays,
-            ),
-            None,
+        out = dict(
+            ro=ro3, rd=rd3,
+            t=hit2.t, tri=hit2.tri, u=hit2.u, v=hit2.v,
+            backface=hit2.backface,
+            ngx=hit2.ng.x, ngy=hit2.ng.y, ngz=hit2.ng.z,
+            rows=at2.rows,
+            state=state, lum=lum, atten=atten, alive=alive3,
+            media_skip=mskip,
+            aov_albedo=aov_albedo, aov_normal=aov_normal,
+            aov_weight=aov_weight, pixel=carry["pixel"],
+            live=live, rays=rays,
         )
+        if "tex" in carry:
+            out["tex"] = pack_sampled(meta, at2)
+        if "sky" in carry:
+            out["sky"] = sky2
+        return out, None
 
     carry, _ = jax.lax.scan(bounce, init, jnp.arange(max_bounces))
 

@@ -206,9 +206,15 @@ def bake_sky_cubemap(sky: SkyMedium, sun_dir, sun_lum, size: int, steps: int):
     return out.reshape(6, size, size, 3)
 
 
-def sample_sky_cubemap_soa(cube: jnp.ndarray, rd):
+def sample_sky_cubemap_soa(cube: jnp.ndarray, rd, active=None):
     """SoA wrapper: V3 dirs -> V3 radiance (per-channel gathers, no [N, 3]
-    intermediates beyond the 4 corner fetch rounds)."""
+    intermediates beyond the 4 corner fetch rounds).
+
+    active: optional [N] bool — lanes that consume the sample (miss lanes
+    + sky-flagged surfaces).  On TPU the fused bilinear kernel skips ray
+    blocks with no active lane and returns 0 there; inactive-lane values
+    are never consumed (integrator alive masks).  The CPU path ignores
+    it."""
     from pim_tpu.math.vec3 import V3
 
     size = cube.shape[1]
@@ -255,23 +261,33 @@ def sample_sky_cubemap_soa(cube: jnp.ndarray, rd):
     i01 = base + y1 * size + x0
     i11 = base + y1 * size + x1
 
-    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+    from pim_tpu.render.table_gather import (
+        fits_texel_kernel,
+        gather_bilinear_pallas,
+        use_texel_kernel,
+    )
 
     planes = cube.reshape(-1, 3).T  # [3, 6*S*S], hoisted out of the scan
     if use_texel_kernel() and fits_texel_kernel(planes):
-        # fused 4-corner x 3-channel Pallas gather (the XLA per-lane
-        # gather here cost ~800 ms/step at e1m1 512²; r4 PERF.md).
+        # fused bilinear Pallas gather (the XLA per-lane gather here cost
+        # ~800 ms/step at e1m1 512²; r4 PERF.md).  Corner-resolved planes
+        # [12, T] are built from slice-shifts of the cubemap (clamped at
+        # each face edge — exactly the x1/y1 = min(+1, S-1) semantics
+        # above) and hoisted out of the bounce scan by XLA; the kernel
+        # then needs ONE query per lane and applies tx/ty in VMEM.
         # parts=2 keeps 16 mantissa bits of the HDR radiance (<2^-16
         # relative error) at 2/3 the MXU passes of the exact split.
-        idx4 = jnp.stack([i00, i10, i01, i11], axis=0)  # [4, N]
-        tex = gather_texels(planes, idx4, parts=2)      # [3, 4, N]
-        out = []
-        for ch in range(3):
-            t00, t10, t01, t11 = tex[ch, 0], tex[ch, 1], tex[ch, 2], tex[ch, 3]
-            top = t00 + (t10 - t00) * tx
-            bot = t01 + (t11 - t01) * tx
-            out.append(top + (bot - top) * ty)
-        return V3(out[0], out[1], out[2])
+        right = jnp.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
+        down = jnp.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
+        diag = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+        planes12 = jnp.concatenate(
+            [p.reshape(-1, 3).T for p in (cube, right, down, diag)], axis=0)
+        ok = (jnp.ones(i00.shape, bool) if active is None
+              else jnp.broadcast_to(active, i00.shape))
+        filt = gather_bilinear_pallas(
+            planes12, i00[None, :], tx[None, :], ty[None, :], ok[None, :],
+            c=3, parts=2)  # [3, 1, N]
+        return V3(filt[0, 0], filt[1, 0], filt[2, 0])
 
     out = []
     for ch in range(3):

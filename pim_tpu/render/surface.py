@@ -122,20 +122,33 @@ def _bilinear_out(corners, tx, ty, missing, default):
 
 
 def sample_atlas_bilinear_multi(atlas_planes, rec_t, fetches,
-                                atlas_corners=None):
+                                atlas_corners=None, active=None):
     """Batched bilinear-wrap fetch of SEVERAL texture-id sets against the
     same atlas in ONE table gather.
 
     fetches: list of (tex_id [N] i32, uv V2, default 4-tuple).  Returns a
     list of 4-channel-array lists, one per fetch.
 
+    active: optional [N] bool — lanes that actually consume the fetch
+    (miss/dead lanes).  On the TPU corner-plane path inactive lanes cost
+    nothing: the fused bilinear kernel skips whole ray blocks with no
+    active textured lane and returns 0 there (those lanes' values are
+    discarded by the integrator's alive masks; the CPU path ignores
+    `active` and keeps sampling — values differ only on never-consumed
+    lanes).
+
     With atlas_corners ([16, T] neighbor-resolved corner planes,
     scene._build_atlas_corner_planes), the TPU kernel needs only the i00
     query per fetch — all four bilinear corners of all four channels ride
-    one 16-channel gather row (4x fewer one-hot queries at identical MXU
-    FLOPs; the r4 profile showed the per-query overhead, not the matmuls,
-    dominating the texel kernel)."""
-    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+    one gather row, and the bilinear weighting happens IN the kernel
+    (gather_bilinear_pallas), so the output is the filtered texel (4x
+    less output traffic than the 16-plane gather it replaced, r5)."""
+    from pim_tpu.render.table_gather import (
+        fits_texel_kernel,
+        gather_bilinear_pallas,
+        gather_texels,
+        use_texel_kernel,
+    )
 
     setups = [
         _bilinear_setup(rec_t, tex_id, uv) for tex_id, uv, _ in fetches
@@ -146,14 +159,20 @@ def sample_atlas_bilinear_multi(atlas_planes, rec_t, fetches,
         # samples u8/255 textures, sampler.h:52-90) — bf16's 8-bit
         # mantissa loses nothing
         idx00 = jnp.stack([s[0][0] for s in setups], axis=0)  # [F, N]
-        tex = gather_texels(atlas_corners, idx00, parts=1)    # [16, F, N]
+        txs = jnp.stack([s[1] for s in setups], axis=0)       # [F, N]
+        tys = jnp.stack([s[2] for s in setups], axis=0)
+        valid = jnp.stack(
+            [(tex_id >= 0) if active is None else ((tex_id >= 0) & active)
+             for tex_id, _, _ in fetches], axis=0)
+        filt = gather_bilinear_pallas(
+            atlas_corners, idx00, txs, tys, valid, c=4, parts=1)  # [4, F, N]
         outs = []
-        for fi, ((tex_id, uv, default), (idx4, tx, ty)) in enumerate(
-                zip(fetches, setups)):
-            corners = [
-                tuple(tex[k * 4 + c, fi] for k in range(4)) for c in range(4)
-            ]
-            outs.append(_bilinear_out(corners, tx, ty, tex_id < 0, default))
+        for fi, (tex_id, uv, default) in enumerate(fetches):
+            missing = tex_id < 0
+            outs.append([
+                jnp.where(missing, jnp.float32(default[c]), filt[c, fi])
+                for c in range(4)
+            ])
         return outs
     if on_tpu and fits_texel_kernel(atlas_planes):
         idx_all = jnp.concatenate([s[0] for s in setups], axis=0)  # [4F, N]
@@ -200,6 +219,26 @@ class HitAttribs(NamedTuple):
     albedo: V3
     rome: tuple          # 4 channel arrays [N]
     emission: V3
+    nm: tuple = None     # (x, y) sampled normal-map channels, or None
+
+
+def sampled_rows(meta) -> int:
+    """Rows of the packed per-hit sampled-texture block (pack_sampled)."""
+    if not (meta.textured or meta.has_normal_maps):
+        return 0
+    return 7 + (2 if meta.has_normal_maps else 0)
+
+
+def pack_sampled(meta, at: HitAttribs) -> jnp.ndarray:
+    """Pack the atlas-sampled shading channels of a HitAttribs into one
+    [S, N] f32 block so the integrator can CARRY them across the bounce
+    scan instead of re-sampling the atlas for the same hit (the r4 profile
+    showed the duplicate albedo/rome round costing ~79 ms/step on e1m1).
+    Layout: albedo rgb, rome x4 [, nm x/y]."""
+    parts = [at.albedo.x, at.albedo.y, at.albedo.z, *at.rome]
+    if meta.has_normal_maps:
+        parts += [at.nm[0], at.nm[1]]
+    return jnp.stack(parts, axis=0)
 
 
 def fetch_hit_attribs(meta, arrays, hit) -> HitAttribs:
@@ -209,10 +248,15 @@ def fetch_hit_attribs(meta, arrays, hit) -> HitAttribs:
     return attribs_from_rows(meta, arrays, rows, hit)
 
 
-def attribs_from_rows(meta, arrays, rows, hit) -> HitAttribs:
+def attribs_from_rows(meta, arrays, rows, hit, sampled=None) -> HitAttribs:
     """Interpolation/shading-state build from an already-fetched [48, N]
     attribute block (the integrator carries `rows` across scan iterations
     to avoid re-gathering the same hit).
+
+    sampled: a pack_sampled block carried with `rows` — when given, the
+    atlas is NOT touched; albedo/rome/normal-map channels are unpacked
+    from it (bit-identical values: they were sampled from the same hit
+    at the end of the previous bounce).
 
     Macro normal = barycentric vertex-normal blend, flipped to the side of
     the geometric normal (ref GetNormal :1192-1204)."""
@@ -235,20 +279,42 @@ def attribs_from_rows(meta, arrays, rows, hit) -> HitAttribs:
     )
     flags = rows[F.FLAGS].astype(jnp.int32)
 
-    albedo4 = [rows[F.ALBEDO.start + c] for c in range(4)]
-    rome = [rows[F.ROME.start + c] for c in range(4)]
-    if meta.textured:
-        a_tex = rows[F.ALBEDO_TEX].astype(jnp.int32)
-        r_tex = rows[F.ROME_TEX].astype(jnp.int32)
-        a_smp, r_smp = sample_atlas_bilinear_multi(
-            arrays.atlas_planes, arrays.tex_rec_t,
-            [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))],
-            atlas_corners=arrays.atlas_corners,
-        )
-        albedo4 = [
-            jnp.where(a_tex >= 0, a_smp[c], albedo4[c]) for c in range(4)
-        ]
-        rome = [jnp.where(r_tex >= 0, r_smp[c], rome[c]) for c in range(4)]
+    nm = None
+    if sampled is not None and sampled_rows(meta) > 0:
+        albedo4 = [sampled[0], sampled[1], sampled[2], None]
+        rome = [sampled[3 + c] for c in range(4)]
+        if meta.has_normal_maps:
+            nm = (sampled[7], sampled[8])
+    else:
+        albedo4 = [rows[F.ALBEDO.start + c] for c in range(4)]
+        rome = [rows[F.ROME.start + c] for c in range(4)]
+        fetches = []
+        if meta.textured:
+            a_tex = rows[F.ALBEDO_TEX].astype(jnp.int32)
+            r_tex = rows[F.ROME_TEX].astype(jnp.int32)
+            fetches += [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))]
+        if meta.has_normal_maps:
+            nm_tex = rows[F.NORMAL_TEX].astype(jnp.int32)
+            fetches.append((nm_tex, uv, (0.0, 0.0, 1.0, 0.0)))
+        if fetches:
+            # ALL atlas sampling for this hit rides ONE table-gather call
+            # (albedo + rome + normal map); get_surface consumes `nm`.
+            # Miss lanes (tri < 0, incl. dead t_far=0 lanes) are masked —
+            # the kernel skips blocks with no real textured hit.
+            smps = sample_atlas_bilinear_multi(
+                arrays.atlas_planes, arrays.tex_rec_t, fetches,
+                atlas_corners=arrays.atlas_corners,
+                active=hit.tri >= 0,
+            )
+            if meta.textured:
+                a_smp, r_smp = smps[0], smps[1]
+                albedo4 = [
+                    jnp.where(a_tex >= 0, a_smp[c], albedo4[c]) for c in range(4)
+                ]
+                rome = [jnp.where(r_tex >= 0, r_smp[c], rome[c]) for c in range(4)]
+            if meta.has_normal_maps:
+                nm4 = smps[-1]
+                nm = (nm4[0], nm4[1])
 
     albedo = V3(albedo4[0], albedo4[1], albedo4[2])
     # UnpackEmission (ref color.h:588-591)
@@ -256,17 +322,19 @@ def attribs_from_rows(meta, arrays, rows, hit) -> HitAttribs:
     emission = albedo * (e * e * K_EMISSION_SCALE)
     return HitAttribs(
         rows=rows, p=p, m=m, uv=uv, flags=flags,
-        albedo=albedo, rome=tuple(rome), emission=emission,
+        albedo=albedo, rome=tuple(rome), emission=emission, nm=nm,
     )
 
 
-def _apply_sky(meta, arrays, rd: V3, is_sky, albedo: V3, emission: V3, m: V3):
-    if meta.has_sky:
-        from pim_tpu.render.sky import sample_sky_cubemap_soa
+def _apply_sky(meta, arrays, rd: V3, is_sky, albedo: V3, emission: V3, m: V3,
+               sky_col: V3 = None):
+    if sky_col is None:
+        if meta.has_sky:
+            from pim_tpu.render.sky import sample_sky_cubemap_soa
 
-        sky_col = sample_sky_cubemap_soa(arrays.sky, rd)
-    else:
-        sky_col = V3.zeros(is_sky.shape)
+            sky_col = sample_sky_cubemap_soa(arrays.sky, rd)
+        else:
+            sky_col = V3.zeros(is_sky.shape)
     zero = V3.zeros(is_sky.shape)
     albedo = where3(is_sky, zero, albedo)
     emission = where3(is_sky, sky_col, emission)
@@ -274,26 +342,34 @@ def _apply_sky(meta, arrays, rd: V3, is_sky, albedo: V3, emission: V3, m: V3):
     return albedo, emission, m
 
 
-def get_surface(meta, arrays, ro: V3, rd: V3, hit, attribs: HitAttribs = None) -> Surface:
-    """Full surface fetch (ref GetSurface :1377-1419)."""
+def get_surface(meta, arrays, ro: V3, rd: V3, hit, attribs: HitAttribs = None,
+                sky_col: V3 = None) -> Surface:
+    """Full surface fetch (ref GetSurface :1377-1419).
+
+    sky_col: optionally a precomputed sky radiance for `rd` (the caller
+    usually already sampled it for the miss path — one cubemap gather
+    instead of two per bounce)."""
     at = attribs if attribs is not None else fetch_hit_attribs(meta, arrays, hit)
     p = at.p + at.m * (0.01 * MILLI)
 
     n = at.m
     if meta.has_normal_maps:
         nm_tex = at.rows[F.NORMAL_TEX].astype(jnp.int32)
-        nm = sample_atlas_bilinear_multi(
-            arrays.atlas_planes, arrays.tex_rec_t,
-            [(nm_tex, at.uv, (0.0, 0.0, 1.0, 0.0))],
-            atlas_corners=arrays.atlas_corners,
-        )[0]
+        nm = at.nm
+        if nm is None:
+            nm = sample_atlas_bilinear_multi(
+                arrays.atlas_planes, arrays.tex_rec_t,
+                [(nm_tex, at.uv, (0.0, 0.0, 1.0, 0.0))],
+                atlas_corners=arrays.atlas_corners,
+            )[0]
         nz = jnp.sqrt(jnp.maximum(1.0 - (nm[0] * nm[0] + nm[1] * nm[1]), 1e-6))
         n_ts = V3(nm[0], nm[1], nz)
         n_mapped = fix_shading_normal(at.m, tan_to_world(at.m, n_ts))
         n = where3(nm_tex >= 0, n_mapped, n)
 
     is_sky = (at.flags & int(MatFlag.SKY)) != 0
-    albedo, emission, m = _apply_sky(meta, arrays, rd, is_sky, at.albedo, at.emission, at.m)
+    albedo, emission, m = _apply_sky(meta, arrays, rd, is_sky, at.albedo,
+                                     at.emission, at.m, sky_col=sky_col)
     n = where3(is_sky, -rd, n)
 
     return Surface(
@@ -311,13 +387,19 @@ def get_surface(meta, arrays, ro: V3, rd: V3, hit, attribs: HitAttribs = None) -
     )
 
 
-def get_emission_from_attribs(meta, arrays, rd: V3, at: HitAttribs) -> V3:
-    """Emission-only view of a fetched hit (ref GetEmission :1293-1326)."""
+def get_emission_from_attribs(meta, arrays, rd: V3, at: HitAttribs,
+                              sky_col: V3 = None) -> V3:
+    """Emission-only view of a fetched hit (ref GetEmission :1293-1326).
+
+    sky_col: optionally a precomputed sky radiance for `rd` (dedupes the
+    cubemap gather with the caller's miss-path sample)."""
     is_sky = (at.flags & int(MatFlag.SKY)) != 0
     if meta.has_sky:
-        from pim_tpu.render.sky import sample_sky_cubemap_soa
+        if sky_col is None:
+            from pim_tpu.render.sky import sample_sky_cubemap_soa
 
-        return where3(is_sky, sample_sky_cubemap_soa(arrays.sky, rd), at.emission)
+            sky_col = sample_sky_cubemap_soa(arrays.sky, rd)
+        return where3(is_sky, sky_col, at.emission)
     return where3(is_sky, V3.zeros(is_sky.shape), at.emission)
 
 

@@ -168,6 +168,169 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
     return out[:n, :ck].T.reshape(k, c, n).transpose(1, 0, 2)
 
 
+def _bilinear_kernel(p3_ref, idx_ref, w_ref, out_ref, *, thi: int, c: int,
+                     k: int, nchunks: int, parts: int):
+    """Fused bilinear filtering gather (r5): p3_ref [parts*Thi, 4C*128]
+    bf16 corner planes (corner-major rows: corner*C + channel);
+    idx_ref [R, K] i32 (the i00 query); w_ref [R, 3K] f32 (tx, ty, valid
+    per query); out_ref [R, C*K] f32 FILTERED texels.
+
+    vs _gather_kernel: the 4-corner weighting happens in VMEM right after
+    the one-hot contraction, so (a) the output (and its HBM round-trip +
+    the post-kernel pad/weight fusion chain) shrinks 4x, (b) dead blocks
+    (no valid lane) skip the matmuls entirely — the weights carry a
+    per-lane `valid` so miss/untextured lanes cost nothing but a zero
+    store.  FLOPs are identical to the corner-plane gather; the r4 profile
+    showed per-query overhead and output traffic dominating those."""
+    r = idx_ref.shape[0]
+    cw4 = 4 * c * 128
+    # zero-init (skipped queries / masked lanes stay 0)
+    out_ref[:, :] = jnp.zeros((r, out_ref.shape[1]), jnp.float32)
+
+    for kk in range(k):
+        valid = w_ref[:, 2 * k + kk : 2 * k + kk + 1] > 0.0   # [R, 1]
+
+        @pl.when(jnp.any(valid))
+        def _():
+            tx = w_ref[:, kk : kk + 1]
+            ty = w_ref[:, k + kk : k + kk + 1]
+            # sanitized weights: masked lanes contribute exact zeros even
+            # when their uv/idx carry NaN payloads
+            zero = jnp.float32(0.0)
+            one = jnp.float32(1.0)
+            txv = jnp.where(valid, tx, zero)
+            tyv = jnp.where(valid, ty, zero)
+            w00 = jnp.where(valid, (one - txv) * (one - tyv), zero)
+            w10 = txv * (one - tyv)
+            w01 = (one - txv) * tyv
+            w11 = txv * tyv
+
+            idx = idx_ref[:, kk : kk + 1]
+            ihi = idx // 128
+            ilo = idx - ihi * 128
+            lane = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+            oh_lo = (lane == ilo).astype(jnp.float32)
+
+            big = jnp.int32(2**30)
+            ihi_v = jnp.where(valid, ihi, big)
+            c_lo = jnp.min(ihi_v) // CHUNK_ROWS
+            ihi_x = jnp.where(valid, ihi, -1)
+            c_hi = jnp.max(ihi_x) // CHUNK_ROWS
+
+            def chunk(ci, q):
+                row0 = ci * CHUNK_ROWS
+                sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (r, CHUNK_ROWS), 1) + row0
+                oh_hi = ((sub == ihi) & valid).astype(jnp.bfloat16)
+                for part in range(parts):
+                    pc = p3_ref[pl.ds(part * thi + row0, CHUNK_ROWS), :]
+                    q = q + jnp.dot(oh_hi, pc,
+                                    preferred_element_type=jnp.float32)
+                return q
+
+            q0 = jnp.zeros((r, cw4), jnp.float32)
+            if nchunks == 1:
+                q = chunk(0, q0)
+            else:
+                q = jax.lax.fori_loop(c_lo, c_hi + 1, chunk, q0)
+
+            # per-channel: weighted corner combine on [R, 128] vregs, then
+            # ONE lo-select reduce + 1-wide store (4 stores per query
+            # instead of 16 — see the 2D-slice-loop note in _gather_kernel)
+            for cc in range(c):
+                acc = (
+                    w00 * q[:, (0 * c + cc) * 128 : (0 * c + cc + 1) * 128]
+                    + w10 * q[:, (1 * c + cc) * 128 : (1 * c + cc + 1) * 128]
+                    + w01 * q[:, (2 * c + cc) * 128 : (2 * c + cc + 1) * 128]
+                    + w11 * q[:, (3 * c + cc) * 128 : (3 * c + cc + 1) * 128]
+                )
+                val = jnp.sum(acc * oh_lo, axis=1, keepdims=True)
+                out_ref[:, kk * c + cc : kk * c + cc + 1] = val
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "parts", "c"))
+def gather_bilinear_pallas(corner_planes: jnp.ndarray, idx: jnp.ndarray,
+                           tx: jnp.ndarray, ty: jnp.ndarray,
+                           valid: jnp.ndarray, c: int,
+                           interpret: bool = False,
+                           parts: int = 1) -> jnp.ndarray:
+    """Filtered bilinear fetch from corner-resolved planes.
+
+    corner_planes [4C, T] f32 (rows corner*C + channel, corners in
+    (00, 10, 01, 11) order — scene._build_atlas_corner_planes layout),
+    idx [K, N] i32 (i00 texel), tx/ty [K, N] f32 lerp weights,
+    valid [K, N] bool -> [C, K, N] f32 filtered texels (0 where invalid).
+    """
+    c4, t = corner_planes.shape
+    assert c4 == 4 * c
+    k, n = idx.shape
+    tpad = max(CHUNK_ROWS * 128, -(-t // (CHUNK_ROWS * 128)) * (CHUNK_ROWS * 128))
+    thi = tpad // 128
+    if thi * c4 * 128 > MAX_TABLE_WORDS:
+        out = jnp.take(corner_planes, jnp.clip(idx, 0, t - 1), axis=1)
+        out = out.reshape(4, c, k, n)
+        vf = valid.astype(jnp.float32)
+        w00 = (1.0 - tx) * (1.0 - ty) * vf
+        w10 = tx * (1.0 - ty) * vf
+        w01 = (1.0 - tx) * ty * vf
+        w11 = tx * ty * vf
+        return (out[0] * w00 + out[1] * w10 + out[2] * w01 + out[3] * w11)
+
+    pp = jnp.clip(corner_planes, -3.38e38, 3.38e38)
+    pp = jnp.where(jnp.abs(pp) < 2.0**-100, 0.0, pp)
+    if tpad != t:
+        pp = jnp.pad(pp, ((0, 0), (0, tpad - t)))
+    from pim_tpu.render.gather_kernel import _split_bf16_3
+
+    p = pp.reshape(c4, thi, 128).transpose(1, 0, 2).reshape(thi, c4 * 128)
+    p3 = jnp.concatenate(_split_bf16_3(p)[:parts], axis=0)
+
+    idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32).T  # [N, K]
+    w2 = jnp.concatenate(
+        [tx.T, ty.T, valid.astype(jnp.float32).T], axis=1)  # [N, 3K]
+
+    rblock = RAY_BLOCK
+    budget = (10 << 20) // 4
+    table_words = parts * thi * c4 * 128 // 2
+    while rblock > 256 and table_words + rblock * (2 * c4 * 128 + 4 * k + c * k) > budget:
+        rblock //= 2
+    npad = -(-n // rblock) * rblock
+    if npad != n:
+        idx2 = jnp.pad(idx2, ((0, npad - n), (0, 0)))
+        w2 = jnp.pad(w2, ((0, npad - n), (0, 0)))
+    kpad = max(8, -(-k // 8) * 8)
+    if kpad != k:
+        idx2 = jnp.pad(idx2, ((0, 0), (0, kpad - k)))
+    k3pad = max(8, -(-(3 * k) // 8) * 8)
+    if k3pad != 3 * k:
+        w2 = jnp.pad(w2, ((0, 0), (0, k3pad - 3 * k)))
+
+    kernel = functools.partial(
+        _bilinear_kernel, thi=thi, c=c, k=k, nchunks=thi // CHUNK_ROWS,
+        parts=parts)
+    ck = c * k
+    ckpad = max(8, -(-ck // 8) * 8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // rblock,),
+        in_specs=[
+            pl.BlockSpec((parts * thi, c4 * 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rblock, kpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rblock, k3pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rblock, ckpad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, ckpad), jnp.float32),
+        interpret=interpret,
+    )(p3, idx2, w2)
+    # [N, K*C] (kk-major) -> [C, K, N]
+    return out[:n, :ck].T.reshape(k, c, n).transpose(1, 0, 2)
+
+
 def use_texel_kernel() -> bool:
     return jax.default_backend() == "tpu"
 
