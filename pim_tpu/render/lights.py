@@ -173,10 +173,15 @@ class LightSample(NamedTuple):
 
 
 def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
-                 u_sel, bu, bv) -> LightSample:
+                 u_sel, bu, bv, active=None) -> LightSample:
     """Light selection + barycentric point sample + emission evaluation
     (ref SampleLight :1785-1822) from the compact emissive table — one
-    [2E+2, G] grid gather plus one [24, E] emissive gather."""
+    [2E+2, G] grid gather plus one [24, E] emissive gather.
+
+    active: optional [N] bool — lanes whose NEE result is consumed; the
+    textured-light atlas fetch and the sky-light cubemap fetch skip ray
+    blocks with no active lane (masked-out lanes return 0 and are
+    discarded by the caller's `ok` gates)."""
     sel = light_select(meta, light_table, arrays.grid_lo, p, u_sel)
     rows = F.fetch_cols(arrays.emissive_table, sel.emit)  # [24, N]
     a = F.v3_rows(rows, E_PA)
@@ -214,6 +219,7 @@ def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
             arrays.atlas_planes, arrays.tex_rec_t,
             [(a_tex, uv, (0, 0, 0, 0)), (r_tex, uv, (0, 0, 0, 0))],
             atlas_corners=arrays.atlas_corners,
+            active=active,
         )
         albedo = where3(a_tex >= 0, V3(alb[0], alb[1], alb[2]), albedo)
         emit_a = jnp.where(r_tex >= 0, rom[3], emit_a)
@@ -223,7 +229,10 @@ def sample_light(meta: SceneMeta, arrays: SceneArrays, light_table, p: V3,
         from pim_tpu.render.sky import sample_sky_cubemap_soa
 
         is_sky = (rows[E_FLAGS].astype(jnp.int32) & int(MatFlag.SKY)) != 0
-        emission = where3(is_sky, sample_sky_cubemap_soa(arrays.sky, rd), emission)
+        sky_act = is_sky if active is None else (is_sky & active)
+        emission = where3(
+            is_sky, sample_sky_cubemap_soa(arrays.sky, rd, active=sky_act),
+            emission)
 
     from pim_tpu.math.vec3 import cross, normalize
 
@@ -260,7 +269,8 @@ def nee_light_strategy(
 
     Returns (radiance V3, LightSample) — radiance is zero where invalid.
     """
-    ls = sample_light(meta, arrays, light_table, surf.p, u_sel, bu, bv)
+    ls = sample_light(meta, arrays, light_table, surf.p, u_sel, bu, bv,
+                      active=active)
 
     # shadow ray: the target sits ON the light tri at t == dist, so clip
     # t_far a relative epsilon short of it (the ref instead closest-hits and

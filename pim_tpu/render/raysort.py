@@ -32,19 +32,42 @@ from pim_tpu.math.grid import grid_index_soa
 from pim_tpu.math.vec3 import V3
 
 
-def sort_rays_key(grid_spec, ro: V3, rd: V3, t_far) -> jnp.ndarray:
-    """[N] i32 coherence keys: (alive, cell, octant) packed, dead last."""
-    cell = grid_index_soa(grid_spec, ro).astype(jnp.int32)
-    octant = (
-        (rd.x < 0).astype(jnp.int32) * 4
-        + (rd.y < 0).astype(jnp.int32) * 2
-        + (rd.z < 0).astype(jnp.int32)
+DIR_BINS = 96  # 6 cube faces x 4x4 sub-bins
+
+
+def _dir_bin(rd: V3) -> jnp.ndarray:
+    """Quantize a direction to one of 96 bins: dominant-axis cube face +
+    a 4x4 grid on the face plane.  The old 3-bit octant leaves primary
+    wavefronts (shared origin cell) in raster order, where a 512-ray
+    block spans the full horizontal FOV — a beam that wakes most of the
+    map's clusters.  96 bins cut each block's angular spread ~12x."""
+    ax = jnp.abs(rd.x)
+    ay = jnp.abs(rd.y)
+    az = jnp.abs(rd.z)
+    vmax = jnp.maximum(ax, jnp.maximum(ay, az))
+    is_x = vmax == ax
+    is_y = (~is_x) & (vmax == ay)
+    face = jnp.where(
+        is_x,
+        jnp.where(rd.x < 0, 1, 0),
+        jnp.where(is_y, jnp.where(rd.y < 0, 3, 2), jnp.where(rd.z < 0, 5, 4)),
     )
-    key = cell * 8 + octant
+    inv = 0.5 / jnp.maximum(vmax, 1e-20)
+    u = jnp.where(is_x, rd.y, rd.x) * inv + 0.5
+    v = jnp.where(is_x | is_y, rd.z, rd.y) * inv + 0.5
+    qu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+    qv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
+    return face * 16 + qu * 4 + qv
+
+
+def sort_rays_key(grid_spec, ro: V3, rd: V3, t_far) -> jnp.ndarray:
+    """[N] i32 coherence keys: (alive, cell, dir-bin) packed, dead last."""
+    cell = grid_index_soa(grid_spec, ro).astype(jnp.int32)
+    key = cell * DIR_BINS + _dir_bin(rd)
     dead = jnp.broadcast_to(jnp.asarray(t_far), ro.x.shape) <= 0.0
-    # dead rays beyond every live key (grid_len * 8 is a static bound)
+    # dead rays beyond every live key (grid_len * DIR_BINS is static)
     nx, ny, nz = grid_spec.size
-    return jnp.where(dead, jnp.int32(nx * ny * nz * 8), key)
+    return jnp.where(dead, jnp.int32(nx * ny * nz * DIR_BINS), key)
 
 
 def sort_perm(keys: jnp.ndarray):

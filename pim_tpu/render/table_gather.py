@@ -168,32 +168,35 @@ def gather_texels_pallas(planes: jnp.ndarray, idx: jnp.ndarray,
     return out[:n, :ck].T.reshape(k, c, n).transpose(1, 0, 2)
 
 
-def _bilinear_kernel(p3_ref, idx_ref, w_ref, out_ref, *, thi: int, c: int,
-                     k: int, nchunks: int, parts: int):
-    """Fused bilinear filtering gather (r5): p3_ref [parts*Thi, 4C*128]
-    bf16 corner planes (corner-major rows: corner*C + channel);
-    idx_ref [R, K] i32 (the i00 query); w_ref [R, 3K] f32 (tx, ty, valid
-    per query); out_ref [R, C*K] f32 FILTERED texels.
+def _bilinear_kernel(p3t_ref, idx_ref, w_ref, out_ref, q_ref, *, thi: int,
+                     c: int, k: int, nchunks: int, parts: int):
+    """Fused bilinear filtering gather, TRANSPOSED layout (rays on LANES —
+    r5): p3t_ref [4C*128, parts*Thi] bf16 corner planes (row = channel
+    group * 128 + lo-lane; corner-major channel groups corner*C + ch);
+    idx_ref [Kpad, R] i32 (the i00 query); w_ref [3Kpad, R] f32 (tx, ty,
+    valid per query, row-stacked); out_ref [CKpad, R] f32 FILTERED texels.
 
-    vs _gather_kernel: the 4-corner weighting happens in VMEM right after
-    the one-hot contraction, so (a) the output (and its HBM round-trip +
-    the post-kernel pad/weight fusion chain) shrinks 4x, (b) dead blocks
-    (no valid lane) skip the matmuls entirely — the weights carry a
-    per-lane `valid` so miss/untextured lanes cost nothing but a zero
-    store.  FLOPs are identical to the corner-plane gather; the r4 profile
-    showed per-query overhead and output traffic dominating those."""
-    r = idx_ref.shape[0]
+    Everything stays SoA [rows, N]: callers pass [K, N] index/weight rows
+    and consume [C*K, N] rows directly — the [K, N] -> [N, K] relayout
+    transposes + pads of the ray-major kernel cost ~45 ms/step on e1m1
+    (r5 profile: 8 'pad'/'slice_bitcast' fusions at ~4-8 ms each).
+
+    The 4-corner weighting happens in VMEM right after the one-hot
+    contraction (output 4x smaller than the 16-plane gather), `valid`
+    masks let blocks with no live lane skip all matmuls, and chunks
+    inside [c_lo, c_hi] untouched by any valid lane are skipped too."""
+    r = idx_ref.shape[1]
     cw4 = 4 * c * 128
     # zero-init (skipped queries / masked lanes stay 0)
-    out_ref[:, :] = jnp.zeros((r, out_ref.shape[1]), jnp.float32)
+    out_ref[:, :] = jnp.zeros_like(out_ref)
 
     for kk in range(k):
-        valid = w_ref[:, 2 * k + kk : 2 * k + kk + 1] > 0.0   # [R, 1]
+        valid = w_ref[2 * k + kk : 2 * k + kk + 1, :] > 0.0   # [1, R]
 
         @pl.when(jnp.any(valid))
         def _():
-            tx = w_ref[:, kk : kk + 1]
-            ty = w_ref[:, k + kk : k + kk + 1]
+            tx = w_ref[kk : kk + 1, :]
+            ty = w_ref[k + kk : k + kk + 1, :]
             # sanitized weights: masked lanes contribute exact zeros even
             # when their uv/idx carry NaN payloads
             zero = jnp.float32(0.0)
@@ -205,47 +208,63 @@ def _bilinear_kernel(p3_ref, idx_ref, w_ref, out_ref, *, thi: int, c: int,
             w01 = (one - txv) * tyv
             w11 = txv * tyv
 
-            idx = idx_ref[:, kk : kk + 1]
+            idx = idx_ref[kk : kk + 1, :]
             ihi = idx // 128
             ilo = idx - ihi * 128
-            lane = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
-            oh_lo = (lane == ilo).astype(jnp.float32)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (128, r), 0)
+            oh_lo = (sub == ilo).astype(jnp.float32)   # [128, R]
 
             big = jnp.int32(2**30)
-            ihi_v = jnp.where(valid, ihi, big)
-            c_lo = jnp.min(ihi_v) // CHUNK_ROWS
-            ihi_x = jnp.where(valid, ihi, -1)
-            c_hi = jnp.max(ihi_x) // CHUNK_ROWS
+            c_lo = jnp.min(jnp.where(valid, ihi, big)) // CHUNK_ROWS
+            c_hi = jnp.max(jnp.where(valid, ihi, -1)) // CHUNK_ROWS
+            ichunk = ihi // CHUNK_ROWS
 
-            def chunk(ci, q):
+            def accum_chunk(ci):
                 row0 = ci * CHUNK_ROWS
-                sub = jax.lax.broadcasted_iota(
-                    jnp.int32, (r, CHUNK_ROWS), 1) + row0
-                oh_hi = ((sub == ihi) & valid).astype(jnp.bfloat16)
+                subh = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK_ROWS, r), 0) + row0
+                oh_hi = ((subh == ihi) & valid).astype(jnp.bfloat16)
                 for part in range(parts):
-                    pc = p3_ref[pl.ds(part * thi + row0, CHUNK_ROWS), :]
-                    q = q + jnp.dot(oh_hi, pc,
-                                    preferred_element_type=jnp.float32)
-                return q
+                    pc = p3t_ref[:, pl.ds(pl.multiple_of(
+                        (part * (thi // CHUNK_ROWS) + ci) * CHUNK_ROWS,
+                        CHUNK_ROWS), CHUNK_ROWS)]     # [CW4, CH]
+                    q_ref[:, :] = q_ref[:, :] + jnp.dot(
+                        pc, oh_hi, preferred_element_type=jnp.float32)
 
-            q0 = jnp.zeros((r, cw4), jnp.float32)
+            q_ref[:, :] = jnp.zeros_like(q_ref)
             if nchunks == 1:
-                q = chunk(0, q0)
+                accum_chunk(0)
             else:
-                q = jax.lax.fori_loop(c_lo, c_hi + 1, chunk, q0)
+                # per-chunk gating on top of the [c_lo, c_hi] range: blocks
+                # whose valid lanes touch a bimodal set of chunks (e.g. a
+                # sky texture and a wall texture far apart in the atlas)
+                # skip the untouched interior chunks' matmuls.  q lives in
+                # a scratch ref so the gate is a pl.when, not a lax.cond
+                # carrying a [CW, R] value copy (VMEM stack OOM).
+                def gated_chunk(ci, carry):
+                    needed = jnp.max(jnp.where(
+                        (ichunk == ci) & valid, 1.0, 0.0)) > 0.0
 
-            # per-channel: weighted corner combine on [R, 128] vregs, then
-            # ONE lo-select reduce + 1-wide store (4 stores per query
-            # instead of 16 — see the 2D-slice-loop note in _gather_kernel)
+                    @pl.when(needed)
+                    def _():
+                        accum_chunk(ci)
+
+                    return carry
+
+                jax.lax.fori_loop(c_lo, c_hi + 1, gated_chunk, 0)
+            q = q_ref[:, :]
+
+            # per-channel: weighted corner combine on [128, R] vregs, then
+            # ONE lo-select sublane-reduce + a full-lane row store
             for cc in range(c):
                 acc = (
-                    w00 * q[:, (0 * c + cc) * 128 : (0 * c + cc + 1) * 128]
-                    + w10 * q[:, (1 * c + cc) * 128 : (1 * c + cc + 1) * 128]
-                    + w01 * q[:, (2 * c + cc) * 128 : (2 * c + cc + 1) * 128]
-                    + w11 * q[:, (3 * c + cc) * 128 : (3 * c + cc + 1) * 128]
+                    w00 * q[(0 * c + cc) * 128 : (0 * c + cc + 1) * 128, :]
+                    + w10 * q[(1 * c + cc) * 128 : (1 * c + cc + 1) * 128, :]
+                    + w01 * q[(2 * c + cc) * 128 : (2 * c + cc + 1) * 128, :]
+                    + w11 * q[(3 * c + cc) * 128 : (3 * c + cc + 1) * 128, :]
                 )
-                val = jnp.sum(acc * oh_lo, axis=1, keepdims=True)
-                out_ref[:, kk * c + cc : kk * c + cc + 1] = val
+                val = jnp.sum(acc * oh_lo, axis=0, keepdims=True)  # [1, R]
+                out_ref[kk * c + cc : kk * c + cc + 1, :] = val
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "parts", "c"))
@@ -282,12 +301,16 @@ def gather_bilinear_pallas(corner_planes: jnp.ndarray, idx: jnp.ndarray,
         pp = jnp.pad(pp, ((0, 0), (0, tpad - t)))
     from pim_tpu.render.gather_kernel import _split_bf16_3
 
+    # table TRANSPOSED: [4C*128, parts*Thi] (row = chgroup*128 + lo-lane,
+    # part-major columns) — a one-time per-step relayout of the (small)
+    # table instead of per-bounce relayouts of the [K, N] ray data
     p = pp.reshape(c4, thi, 128).transpose(1, 0, 2).reshape(thi, c4 * 128)
-    p3 = jnp.concatenate(_split_bf16_3(p)[:parts], axis=0)
+    p3 = jnp.concatenate(
+        [s.T for s in _split_bf16_3(p)[:parts]], axis=1)  # [CW4, parts*Thi]
 
-    idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32).T  # [N, K]
+    idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32)     # [K, N]
     w2 = jnp.concatenate(
-        [tx.T, ty.T, valid.astype(jnp.float32).T], axis=1)  # [N, 3K]
+        [tx, ty, valid.astype(jnp.float32)], axis=0)     # [3K, N]
 
     rblock = RAY_BLOCK
     budget = (10 << 20) // 4
@@ -296,14 +319,14 @@ def gather_bilinear_pallas(corner_planes: jnp.ndarray, idx: jnp.ndarray,
         rblock //= 2
     npad = -(-n // rblock) * rblock
     if npad != n:
-        idx2 = jnp.pad(idx2, ((0, npad - n), (0, 0)))
-        w2 = jnp.pad(w2, ((0, npad - n), (0, 0)))
+        idx2 = jnp.pad(idx2, ((0, 0), (0, npad - n)))
+        w2 = jnp.pad(w2, ((0, 0), (0, npad - n)))
     kpad = max(8, -(-k // 8) * 8)
     if kpad != k:
-        idx2 = jnp.pad(idx2, ((0, 0), (0, kpad - k)))
+        idx2 = jnp.pad(idx2, ((0, kpad - k), (0, 0)))
     k3pad = max(8, -(-(3 * k) // 8) * 8)
     if k3pad != 3 * k:
-        w2 = jnp.pad(w2, ((0, 0), (0, k3pad - 3 * k)))
+        w2 = jnp.pad(w2, ((0, k3pad - 3 * k), (0, 0)))
 
     kernel = functools.partial(
         _bilinear_kernel, thi=thi, c=c, k=k, nchunks=thi // CHUNK_ROWS,
@@ -315,20 +338,21 @@ def gather_bilinear_pallas(corner_planes: jnp.ndarray, idx: jnp.ndarray,
         kernel,
         grid=(npad // rblock,),
         in_specs=[
-            pl.BlockSpec((parts * thi, c4 * 128), lambda i: (0, 0),
+            pl.BlockSpec((c4 * 128, parts * thi), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblock, kpad), lambda i: (i, 0),
+            pl.BlockSpec((kpad, rblock), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblock, k3pad), lambda i: (i, 0),
+            pl.BlockSpec((k3pad, rblock), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rblock, ckpad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ckpad, rblock), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, ckpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ckpad, npad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4 * c * 128, rblock), jnp.float32)],
         interpret=interpret,
     )(p3, idx2, w2)
-    # [N, K*C] (kk-major) -> [C, K, N]
-    return out[:n, :ck].T.reshape(k, c, n).transpose(1, 0, 2)
+    # [K*C, N] (kk-major rows) -> [C, K, N]
+    return out[:ck, :n].reshape(k, c, n).transpose(1, 0, 2)
 
 
 def use_texel_kernel() -> bool:
