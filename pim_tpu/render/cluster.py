@@ -333,10 +333,9 @@ def _anyhit_kernel(scb_ref, clb_ref, tris_ref, rays_ref, hit_out,
     inv_rd = (_safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz))
 
     # dead lanes start "blocked" so the all-blocked early exit can fire
-    # for partially-dead blocks (lane-deferred: [RB, CB] accumulator,
-    # reduced once per supercluster)
-    dead = jnp.broadcast_to(tfar <= 0.0, (rb, cb))
-    blk_ref[:, :] = jnp.where(dead, 1.0, 0.0)
+    # for partially-dead blocks; [RB, 1] running flag (per-cluster lane
+    # reduction out of vregs — same write-traffic fix as _isect_kernel)
+    blk_ref[:, :] = jnp.where(tfar <= 0.0, 1.0, 0.0)
 
     @pl.when(jnp.max(tfar) > 0.0)
     def _():
@@ -350,7 +349,7 @@ def _anyhit_kernel(scb_ref, clb_ref, tris_ref, rays_ref, hit_out,
 
         def body(carry):
             s, _ = carry
-            blocked_ray = jnp.max(blk_ref[:, :], axis=1, keepdims=True)
+            blocked_ray = blk_ref[:, :]
 
             @pl.when(_lane_scalar(scm, s) > 0.0)
             def _():
@@ -367,22 +366,22 @@ def _anyhit_kernel(scb_ref, clb_ref, tris_ref, rays_ref, hit_out,
                         c = s * cps + j
                         ds = pl.ds(pl.multiple_of(c * cb, cb), cb)
                         t, ok = _bw_lanes(tris_ref, ds, ro, rd, tnear)
-                        hit = ok & (t < tfar)
-                        blk_ref[:, :] = jnp.maximum(
-                            blk_ref[:, :], jnp.where(hit, 1.0, 0.0))
+                        hit = jnp.max(
+                            jnp.where(ok & (t < tfar), 1.0, 0.0),
+                            axis=1, keepdims=True)
+                        blk_ref[:, :] = jnp.maximum(blk_ref[:, :], hit)
                     return carry2
 
                 jax.lax.fori_loop(0, cps, cl_body, 0)
 
-            all_blocked = jnp.min(
-                jnp.max(blk_ref[:, :], axis=1, keepdims=True)) > 0.0
+            all_blocked = jnp.min(blk_ref[:, :]) > 0.0
             return s + 1, all_blocked
 
         jax.lax.while_loop(cond, body, (0, False))
 
     # a dead lane is not a hit
-    hit = jnp.max(blk_ref[:, :], axis=1, keepdims=True)
-    hit_out[:, :] = jnp.where(tfar > 0.0, hit, 0.0).astype(jnp.int32)
+    hit_out[:, :] = jnp.where(
+        tfar > 0.0, blk_ref[:, :], 0.0).astype(jnp.int32)
 
 
 @jax.jit
@@ -435,7 +434,7 @@ def _anyhit_call(scb, clb, tris, rays_t):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((RAY_BLOCK, CB), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
         ],
     )(scb, clb, tris, rays_t)
     return hit[:, 0]
