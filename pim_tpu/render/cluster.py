@@ -27,8 +27,11 @@ only the clusters along their beam.  Dead lanes carry t_far <= 0 and never wake 
 block skips everything.
 
 Layouts (lanes are the fast axis; no trailing small dims):
-  tris  [12, C*CB] f32   BW components on sublanes, triangles on lanes,
-                         cluster-contiguous (cluster c = lanes [c*CB, ...))
+  tris  [13, C*CB] f32   BW components (+ row 12 = original tri id) on
+                         sublanes, triangles on lanes, cluster-contiguous
+                         (cluster c = lanes [c*CB, ...)); carrying the id
+                         in the table lets the isect kernel emit tri ids
+                         directly (no slot->tri gather after the trace)
   clb   [6*S, 128] f32   row a*S+s = component a (lox loy loz hix hiy hiz)
                          of supercluster s's CPS clusters in lanes 0..CPS
                          (dynamic LANE slices must be 128-aligned on TPU,
@@ -74,8 +77,10 @@ class ClusterArrays(NamedTuple):
 def dummy_cluster_arrays() -> ClusterArrays:
     """Placeholder for scenes routed to other backends (keeps SceneArrays
     a fixed-shape pytree without carrying a second copy of the scene)."""
+    tris0 = np.zeros((13, CB), np.float32)
+    tris0[12, :] = -1.0
     return ClusterArrays(
-        tris=jnp.zeros((12, CB), jnp.float32),
+        tris=jnp.asarray(tris0),
         slot_tri=jnp.full((CB,), -1, jnp.int32),
         # padded boxes are a point at +BIG: the slab entry goes to +inf
         # (or exit to -inf), so the test always fails regardless of ray sign
@@ -169,11 +174,13 @@ def build_clusters(positions: np.ndarray, cb: int = CB,
 
     # tri lanes padded to cpad*cb so even a (gated-off) padded-cluster
     # slice stays in bounds
-    tris_packed = np.zeros((cpad * cb, 12), np.float32)
+    tris_packed = np.zeros((cpad * cb, 13), np.float32)
+    tris_packed[:, 12] = -1.0
     slot_tri = np.full(cpad * cb, -1, np.int32)
     cb6 = np.full((6, cpad), _BIG, np.float32)  # point-at-+BIG: always fails
     for i, g in enumerate(groups):
-        tris_packed[i * cb : i * cb + len(g)] = bw[g]
+        tris_packed[i * cb : i * cb + len(g), :12] = bw[g]
+        tris_packed[i * cb : i * cb + len(g), 12] = g.astype(np.float32)
         slot_tri[i * cb : i * cb + len(g)] = g
         cb6[0:3, i] = tri_lo[g].min(axis=0)
         cb6[3:6, i] = tri_hi[g].max(axis=0)
@@ -267,8 +274,8 @@ def _lane_scalar(vec, j):
     return jnp.max(jnp.where(lanes == j, vec, -_BIG))
 
 
-def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, slot_out,
-                  bt_ref, bc_ref, *, n_sc, cps, cb, rb):
+def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, tri_out,
+                  bt_ref, bc_ref, bid_ref, *, n_sc, cps, cb, rb):
     rox, roy, roz, tnear, rdx, rdy, rdz, tfar = _ray_cols(rays_ref)
     ro = (rox, roy, roz)
     rd = (rdx, rdy, rdz)
@@ -276,6 +283,7 @@ def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, slot_out,
 
     bt_ref[:, :] = jnp.broadcast_to(tfar, (rb, cb))
     bc_ref[:, :] = jnp.full((rb, cb), -1, jnp.int32)
+    bid_ref[:, :] = jnp.full((rb, cb), -1.0, jnp.float32)
 
     @pl.when(jnp.max(tfar) > 0.0)
     def _():
@@ -303,7 +311,11 @@ def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, slot_out,
                         t, ok = _bw_lanes(tris_ref, ds, ro, rd, tnear)
                         bt = bt_ref[:, :]
                         better = ok & (t < bt)
+                        ids = tris_ref[12:13, ds]  # [1, CB] f32 tri ids
                         bc_ref[:, :] = jnp.where(better, c, bc_ref[:, :])
+                        bid_ref[:, :] = jnp.where(
+                            better, jnp.broadcast_to(ids, (rb, cb)),
+                            bid_ref[:, :])
                         bt_ref[:, :] = jnp.where(better, t, bt)
                     return carry2
 
@@ -312,7 +324,9 @@ def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, slot_out,
 
         jax.lax.fori_loop(0, n_sc, sc_body, 0)
 
-    # final: one lane argmin over the per-(ray, lane) bests
+    # final: one lane argmin over the per-(ray, lane) bests; the tri id
+    # is read from the same winning (cluster, lane) position, preserving
+    # the old slot->tri tie-break exactly (min slot among t-ties)
     bt = bt_ref[:, :]
     bc = bc_ref[:, :]
     tm = jnp.where(bc >= 0, bt, _BIG)
@@ -321,8 +335,11 @@ def _isect_kernel(scb_ref, clb_ref, tris_ref, rays_ref, t_out, slot_out,
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, cb), 1)
     slot = jnp.min(
         jnp.where(tm == tmin, bc * cb + lane, _IBIG), axis=1, keepdims=True)
+    at_win = (tm == tmin) & (bc * cb + lane == slot)
+    tri = jnp.max(jnp.where(at_win, bid_ref[:, :], -_BIG), axis=1,
+                  keepdims=True)
     t_out[:, :] = jnp.where(found, tmin, -1.0)
-    slot_out[:, :] = jnp.where(found, slot, -1)
+    tri_out[:, :] = jnp.where(found, tri, -1.0)
 
 
 def _anyhit_kernel(scb_ref, clb_ref, tris_ref, rays_ref, hit_out,
@@ -390,7 +407,7 @@ def _isect_call(scb, clb, tris, rays_t):
     n_sc = clb.shape[0] // 6
     kernel = functools.partial(
         _isect_kernel, n_sc=n_sc, cps=CPS, cb=CB, rb=RAY_BLOCK)
-    t, slot = pl.pallas_call(
+    t, tri = pl.pallas_call(
         kernel,
         grid=(n // RAY_BLOCK,),
         in_specs=[
@@ -405,14 +422,15 @@ def _isect_call(scb, clb, tris, rays_t):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, CB), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, CB), jnp.int32),
+            pltpu.VMEM((RAY_BLOCK, CB), jnp.float32),
         ],
     )(scb, clb, tris, rays_t)
-    return t[:, 0], slot[:, 0]
+    return t[:, 0], tri[:, 0]
 
 
 @jax.jit
@@ -460,27 +478,15 @@ def _pack_rays_t(ro, rd, t_near, t_far):
 
 
 def intersect_cluster_raw(cl: ClusterArrays, ro, rd, t_near, t_far):
-    """Closest hit; returns (t [N], tri [N]) with tri = -1 on miss."""
-    from pim_tpu.render.table_gather import fits_texel_kernel, gather_texels, use_texel_kernel
+    """Closest hit; returns (t [N], tri [N]) with tri = -1 on miss.
 
+    Tri ids come straight out of the kernel (row 12 of the BW table,
+    f32-exact below 2^24 — slot counts are bounded by MAX_CLUSTER_TRIS,
+    far under that), so there is no post-trace slot->tri gather (r5;
+    was ~12 ms/step on e1m1)."""
     rays_t, n = _pack_rays_t(ro, rd, t_near, t_far)
-    t, slot = _isect_call(cl.scb, cl.clb, cl.tris, rays_t)
-    t = t[:n]
-    slot = slot[:n]
-    slot_c = jnp.clip(slot, 0, cl.slot_tri.shape[0] - 1)
-    # slot -> original tri id: tri ids < 2^24 ride the f32-exact Pallas
-    # gather on TPU (the XLA per-lane gather here is scan-fused and slow).
-    # Ids >= 2^24 would round in the f32 encoding; tri ids are bounded by
-    # the slot count, so gate statically on it (advisor r4).
-    plane = cl.slot_tri.astype(jnp.float32)[None, :]  # [1, S]
-    if (cl.slot_tri.shape[0] < (1 << 24) and use_texel_kernel()
-            and fits_texel_kernel(plane)):
-        tri_f = gather_texels(plane, slot_c[None, :])[0, 0]
-        tri_g = tri_f.astype(jnp.int32)
-    else:
-        tri_g = cl.slot_tri[slot_c]
-    tri = jnp.where(slot >= 0, tri_g, -1)
-    return t, tri
+    t, tri_f = _isect_call(cl.scb, cl.clb, cl.tris, rays_t)
+    return t[:n], tri_f[:n].astype(jnp.int32)
 
 
 def occluded_cluster(cl: ClusterArrays, ro, rd, t_near, t_far):
