@@ -181,9 +181,14 @@ class TraceResult(NamedTuple):
     rays_traced: jnp.ndarray  # scalar f32: total rays actually cast
 
 
-def _evaluate_light(meta, arrays, light_table, state, p: V3):
+def _evaluate_light(meta, arrays, light_table, state, p: V3,
+                    media_desc=None):
     """In-media NEE (ref EvaluateLight :1921-1942): select a light from the
     grid, sample a point on it, verify visibility with one any-hit ray.
+    With media, the sampled luminance carries the ratio-tracked medium
+    transmittance along the shadow ray (ref SampleLight :1820-1823 — its
+    omission was a measured ~2x in-media NEE overcount, caught by
+    tests/test_media.py::test_media_brute_vs_framework, r5).
     Returns (state, lum V3, dir V3, ok)."""
     state, u_sel = rng.next_f32(state)
     state, (bu, bv) = rng.next_f32x2(state)
@@ -192,6 +197,11 @@ def _evaluate_light(meta, arrays, light_table, state, p: V3):
                              0.0, ls.dist * jnp.float32(1.0 - 1e-3))
     ok = ls.ok & ~blocked & (ls.lp > EPS)
     lum = ls.emission * (1.0 / jnp.maximum(ls.lp, EPS))
+    if media_desc is not None:
+        from pim_tpu.render.media import calc_transmittance
+
+        state, tr = calc_transmittance(media_desc, state, p, ls.dir, ls.dist)
+        lum = lum * tr
     return state, lum, ls.dir, ok
 
 
@@ -239,7 +249,8 @@ def _finish_segment(meta, arrays, light_table, media_desc, state,
         ray_len = jnp.where(missed, RCP_EPS, hit.t)
 
         def eval_light_in_media(st, p):
-            return _evaluate_light(meta, arrays, light_table, st, p)
+            return _evaluate_light(meta, arrays, light_table, st, p,
+                                   media_desc=media_desc)
 
         state, ms = scatter_ray(
             media_desc, state, ro, rd, ray_len,
@@ -406,10 +417,27 @@ def trace_rays(
         state, u_sel = rng.next_f32(state)
         state, (bu, bv) = rng.next_f32x2(state)
         if e > 0:
+            if meta.media_enabled:
+                # surface NEE through the medium: ratio-tracked shadow-ray
+                # transmittance (ref SampleLight :1820-1823); the rng state
+                # threads through the closure cell
+                from pim_tpu.render.media import calc_transmittance
+
+                st_box = [state]
+
+                def tr_fn(p, ldir, ldist):
+                    st, tr = calc_transmittance(media_desc, st_box[0], p,
+                                                ldir, ldist)
+                    st_box[0] = st
+                    return tr
+            else:
+                st_box = [state]
+                tr_fn = None
             li, ls = nee_light_strategy(
                 meta, arrays, light_table, lut, surf, hit.tri, rd, u_sel, bu, bv,
-                active=surf_alive,
+                active=surf_alive, transmittance_fn=tr_fn,
             )
+            state = st_box[0]
             lum = lum + li * atten * surf_alive.astype(jnp.float32)
             rays = rays + jnp.sum(surf_alive.astype(jnp.float32))
 

@@ -256,6 +256,7 @@ def nee_light_strategy(
     i_dir: V3,
     u_sel, bu, bv,
     active=None,
+    transmittance_fn=None,
 ):
     """Light-strategy half of the MIS estimator (ref EstimateDirect
     :1849-1890): sample a light point, trace ONE any-hit shadow ray, weight
@@ -288,4 +289,8 @@ def nee_light_strategy(
         & (ls.lp > EPS) & (bp > EPS) & ~refractive
     )
     radiance = ls.emission * brdf_a * (w * ok.astype(jnp.float32))
+    if transmittance_fn is not None:
+        # medium transmittance along the shadow ray (ref SampleLight
+        # :1820-1823) — compiled in only when media is enabled
+        radiance = radiance * transmittance_fn(surf.p, ls.dir, ls.dist)
     return radiance, ls

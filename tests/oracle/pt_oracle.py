@@ -20,9 +20,11 @@ agree with the framework integrator within Monte-Carlo tolerance.
 Scope: flat (1x1) OR textured materials (bilinear-wrap sampler parity,
 sampler.h:176-249), optional sky cubemap (GetSky/SampleSkyTex parity —
 misses return sky radiance, MatFlag.SKY surfaces emit it and act as NEE
-lights), no media, no refractive surfaces, no normal maps — the BASELINE
-parity configs #1/#2 (Cornell) plus the textured+sky scope of configs
-#3/#4 (map-class scenes; tests/test_parity.py::test_parity_textured_sky).
+lights), normal maps (SampleNormal, path_tracer.c:1363-1375), and
+refractive surfaces (Scatter_Refractive, path_tracer.c:1576-1638 — GGX
+dielectric with Beer-Lambert interior transmittance, full-weight emission
+on refractive chains).  Media remains out of scope (the framework's
+trace_brute arbiter covers it, tests/test_media.py).
 """
 
 from __future__ import annotations
@@ -299,6 +301,7 @@ class OracleScene(NamedTuple):
     uvs: np.ndarray = None         # [V, 2] f64 (None = untextured scene)
     albedo_tex: np.ndarray = None  # [T] i32 texture index (-1 = flat)
     rome_tex: np.ndarray = None    # [T] i32
+    normal_tex: np.ndarray = None  # [T] i32 (-1 = no normal map)
     textures: tuple = ()           # per-index [H, W, 4] f64 images
     sky: np.ndarray = None         # [6, S, S, 3] f64 cubemap (None = black)
 
@@ -320,6 +323,7 @@ def scene_from_entities(entities, pool, sky=None) -> OracleScene:
     ior = np.ones(t)
     albedo_tex = np.full(t, -1, np.int32)
     rome_tex = np.full(t, -1, np.int32)
+    normal_tex = np.full(t, -1, np.int32)
     textures = [np.asarray(pool.get(i), np.float64) for i in range(len(pool))]
     for i, mid in enumerate(f.mat_ids):
         mat = f.materials[mid]
@@ -335,10 +339,10 @@ def scene_from_entities(entities, pool, sky=None) -> OracleScene:
                 rome[i] = img[0, 0]
             else:
                 rome_tex[i] = mat.rome_tex
+        if mat.normal_tex >= 0 and textures[mat.normal_tex].shape[:2] != (1, 1):
+            normal_tex[i] = mat.normal_tex
         flags[i] = int(mat.flags)
         ior[i] = mat.ior
-    assert not (flags & int(MatFlag.REFRACTIVE)).any(), \
-        "oracle scope excludes refractive surfaces"
     pos = f.positions.astype(np.float64)
     a = pos[0::3]
     b = pos[1::3]
@@ -358,7 +362,7 @@ def scene_from_entities(entities, pool, sky=None) -> OracleScene:
         albedo=albedo, rome=rome, flags=flags, ior=ior,
         areas=areas, emissive=emissive,
         uvs=f.uvs.astype(np.float64),
-        albedo_tex=albedo_tex, rome_tex=rome_tex,
+        albedo_tex=albedo_tex, rome_tex=rome_tex, normal_tex=normal_tex,
         textures=tuple(textures),
         sky=None if sky is None else np.asarray(sky, np.float64),
     )
@@ -528,16 +532,23 @@ def occluded_same_tri(scene, ro, rd, dist, target_tri):
 class Surf(NamedTuple):
     p: np.ndarray
     m: np.ndarray          # geometric-ish normal (GetNormal)
-    n: np.ndarray          # shading normal (== m, no normal maps)
+    n: np.ndarray          # shading normal (normal-mapped when present)
     albedo: np.ndarray     # [N, 4]
     rome: np.ndarray
     emission: np.ndarray   # [N, 3]
     flags: np.ndarray
     ior: np.ndarray
+    backface: np.ndarray   # [N] bool (PtHit_Backface)
+
+
+def fix_shading_normal(m, n):
+    """FixShadingNormal (path_tracer.c:1355-1360)."""
+    return np.where(dot(m, n)[:, None] > 0.0, n, reflect(n, m))
 
 
 def get_surface(scene, tri, w, u, v, rd, ng):
-    """GetSurface (path_tracer.c:1377-1418), flat materials."""
+    """GetSurface (path_tracer.c:1377-1418) incl. SampleNormal
+    (:1363-1375)."""
     iv = tri * 3
     pos = scene.positions
     p = (
@@ -553,11 +564,29 @@ def get_surface(scene, tri, w, u, v, rd, ng):
     n = np.where(dot(ng_f, n)[:, None] > 0.0, n, -n)
     n = normalize(n)
     p = p + n * (0.01e-3)  # :1394
+    m = n
+    if scene.normal_tex is not None and (scene.normal_tex[tri] >= 0).any():
+        # SampleNormal: tangent-space xy from the map, z reconstructed —
+        # mirrors the framework decode (surface.get_surface): the oracle
+        # and framework must sample the SAME stored channels
+        nm_tex = scene.normal_tex[tri]
+        uv = _tri_uv(scene, tri, w, u, v)
+        n = n.copy()
+        for ti, img in enumerate(scene.textures):
+            sel = np.nonzero(nm_tex == ti)[0]
+            if not sel.size:
+                continue
+            nm = uv_bilinear_wrap(img, uv[sel])
+            nz = np.sqrt(np.maximum(
+                1.0 - (nm[:, 0] ** 2 + nm[:, 1] ** 2), 1e-6))
+            nts = np.stack([nm[:, 0], nm[:, 1], nz], axis=-1)
+            n[sel] = fix_shading_normal(m[sel], tan_to_world(m[sel], nts))
     albedo, rome = _fetch_material(scene, tri, w, u, v)
     emission = _emission_at(scene, tri, albedo, rome, rd)
+    backface = dot(ng, rd) > 0.0
     return Surf(
-        p=p, m=n, n=n, albedo=albedo, rome=rome, emission=emission,
-        flags=scene.flags[tri], ior=scene.ior[tri],
+        p=p, m=m, n=n, albedo=albedo, rome=rome, emission=emission,
+        flags=scene.flags[tri], ior=scene.ior[tri], backface=backface,
     )
 
 
@@ -647,6 +676,68 @@ def scatter_principled(rng, surf, i_dir):
     return l, atten, pdf
 
 
+def sigma_a_from_reflectance(albedo, beta_n):
+    """SigmaAFromReflectance (lighting.h:193-206, Chiang et al. 4.2)."""
+    r2 = beta_n * beta_n
+    r3 = r2 * beta_n
+    r4 = r3 * beta_n
+    r5 = r4 * beta_n
+    t = (5.969 - 0.215 * beta_n + 2.532 * r2 - 10.73 * r3 + 5.574 * r4
+         + 0.245 * r5)
+    sig = np.log(np.maximum(albedo, 1e-30)) / np.maximum(t, EPS)[..., None]
+    return sig * sig
+
+
+def albedo_to_transmittance(albedo, roughness, thickness):
+    """AlbedoToTransmittance (lighting.h:208-212)."""
+    sig = sigma_a_from_reflectance(albedo, roughness)
+    return np.exp(-sig * thickness[:, None])
+
+
+def scatter_refractive(rng, scene, surf, i_dir):
+    """Scatter_Refractive (path_tracer.c:1576-1638): GGX-microfacet
+    dielectric; reflect-vs-refract by Fresnel, Beer-Lambert interior
+    transmittance from an interior-thickness probe on entering
+    refraction.  Returns (pos, l, atten [N,3], pdf)."""
+    n_rays = surf.p.shape[0]
+    eta_i = 1.000277
+    eta_t = np.maximum(1.0, surf.ior)
+    alpha = brdf_alpha(surf.rome[:, 0])
+
+    v = -i_dir
+    m = tan_to_world(
+        surf.n, sample_ggx_microfacet(rng.random((n_rays, 2)), alpha))
+    m = fix_shading_normal(surf.m, m)
+    entering = ~surf.backface
+
+    cos_i = np.clip(np.abs(dot(v, m)), 0.0, 1.0)
+    fres = f_dielectric(np.where(entering, cos_i, -cos_i), eta_i, eta_t)
+    do_reflect = rng.random(n_rays) < fres
+
+    l_reflect = reflect(i_dir, m)
+    # f4_refract3 (float4_funcs.h:713-719)
+    k = np.where(entering, eta_i / eta_t, eta_t / eta_i)
+    cos_t = np.minimum(1.0, dot(-i_dir, m))
+    r_perp = (m * cos_t[:, None] + i_dir) * k[:, None]
+    r_par = m * (-np.sqrt(np.abs(1.0 - np.sum(r_perp * r_perp, -1))))[:, None]
+    l_refract = normalize(r_perp + r_par)
+
+    l = np.where(do_reflect[:, None], l_reflect, l_refract)
+    pdf = np.where(do_reflect, fres, 1.0 - fres)
+    below = dot(l, surf.m) < 0.0
+    pos = np.where(below[:, None], surf.p - surf.m * 0.1e-3, surf.p)
+
+    # interior-thickness probe (:1621-1628); miss -> kRcpEpsilon
+    t_h = intersect(scene, pos, l, np.full(n_rays, BIG))[0]
+    thickness = np.where(t_h >= 0.0, np.maximum(t_h, EPS), BIG)
+    refr_in = (~do_reflect) & entering
+    tr = albedo_to_transmittance(
+        surf.albedo[:, :3], surf.rome[:, 0], thickness)
+    atten = np.where(refr_in[:, None], tr * pdf[:, None],
+                     np.broadcast_to(pdf[:, None], (n_rays, 3)))
+    return pos, l, atten, pdf
+
+
 # ---------------------------------------------------------------------------
 # NEE (EstimateDirect, path_tracer.c:1849-1919) — uniform light selection
 # ---------------------------------------------------------------------------
@@ -731,6 +822,7 @@ def trace(scene: OracleScene, ro, rd, rng, max_bounces=10):
     lum = np.zeros((n, 3))
     atten = np.ones((n, 3))
     alive = np.ones(n, bool)
+    prev_refr = np.zeros(n, bool)
     ro = ro.astype(np.float64).copy()
     rd = normalize(rd.astype(np.float64))
 
@@ -763,16 +855,27 @@ def trace(scene: OracleScene, ro, rd, rng, max_bounces=10):
 
         surf = get_surface(scene, tri_s, w, u, v, rd, ng)
 
-        # emission gating: only primary (b==0) contributes directly (:2375-2378)
-        if b == 0:
-            lum += np.where(alive[:, None], surf.emission * atten, 0.0)
+        # emission gating: primary hits AND refractive chains contribute
+        # directly ((b == 0) || (prevFlags & Refractive), :2375-2378)
+        emis_gate = alive if b == 0 else (alive & prev_refr)
+        lum += np.where(emis_gate[:, None], surf.emission * atten, 0.0)
         sky_hit = (scene.flags[tri_s] & SKY) != 0
         alive &= ~sky_hit
 
-        li = estimate_direct(rng, scene, surf, tri_s, rd, alive)
+        # EstimateDirect returns zero on refractive surfaces (:1858-1861)
+        li = estimate_direct(rng, scene, surf, tri_s, rd, alive & ~is_refr)
         lum += li * atten
 
         l, s_atten, s_pdf = scatter_principled(rng, surf, rd)
+        pos = surf.p
+        if is_refr.any():
+            # Scatter_Principled routes refractive materials to
+            # Scatter_Refractive (:1678-1681)
+            p_r, l_r, a_r, pdf_r = scatter_refractive(rng, scene, surf, rd)
+            l = np.where(is_refr[:, None], l_r, l)
+            s_atten = np.where(is_refr[:, None], a_r, s_atten)
+            s_pdf = np.where(is_refr, pdf_r, s_pdf)
+            pos = np.where(is_refr[:, None], p_r, pos)
         ok = s_pdf > EPS
         alive &= ok
         atten = np.where(
@@ -780,8 +883,9 @@ def trace(scene: OracleScene, ro, rd, rng, max_bounces=10):
             atten * s_atten / np.maximum(s_pdf, EPS)[:, None],
             atten,
         )
-        ro = surf.p
+        ro = pos
         rd = l
+        prev_refr = is_refr & alive
 
     return lum
 
@@ -851,6 +955,13 @@ def trace_brute(scene: OracleScene, ro, rd, rng, max_bounces=10):
         alive &= ~sky_hit
 
         l, s_atten, s_pdf = scatter_principled(rng, surf, rd)
+        pos = surf.p
+        if is_refr.any():
+            p_r, l_r, a_r, pdf_r = scatter_refractive(rng, scene, surf, rd)
+            l = np.where(is_refr[:, None], l_r, l)
+            s_atten = np.where(is_refr[:, None], a_r, s_atten)
+            s_pdf = np.where(is_refr, pdf_r, s_pdf)
+            pos = np.where(is_refr[:, None], p_r, pos)
         ok = s_pdf > EPS
         alive &= ok
         atten = np.where(
@@ -858,7 +969,7 @@ def trace_brute(scene: OracleScene, ro, rd, rng, max_bounces=10):
             atten * s_atten / np.maximum(s_pdf, EPS)[:, None],
             atten,
         )
-        ro = surf.p
+        ro = pos
         rd = l
 
     return lum
