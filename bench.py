@@ -51,14 +51,47 @@ def _measure(step, arrays, lights, ca, iters=ITERS, warmup=WARMUP):
     # float(rays) sync would serialize host round-trips into the device
     # timeline (measured: +35 ms/step through the axon tunnel)
     ray_handles = []
+    mean_handles = []
     t0 = time.perf_counter()
     for i in range(iters):
         color, rays = step(arrays, lights, ca, jnp.uint32(warmup + i))
         ray_handles.append(rays)
+        mean_handles.append(jnp.mean(color))
     color.block_until_ready()
     elapsed = time.perf_counter() - t0
     total_rays = sum(float(r) for r in ray_handles)
-    return total_rays / elapsed / 1e6, elapsed / iters
+    img_mean = sum(float(m) for m in mean_handles) / iters
+    return total_rays / elapsed / 1e6, elapsed / iters, img_mean
+
+
+def _check_gate(tag, img_mean):
+    """Radiance gate: the accumulated image mean must sit inside the
+    calibrated band (tools/calibrate_bench_gate.py) so a published
+    Mrays/s can never come from a silently-broken render (VERDICT r4
+    asks #2/#8; ref analog CmdPtTest, render_system.c:1348-1410).
+    cornell512 is an ABSOLUTE cross-backend anchor (CPU-framework mean,
+    itself oracle-certified); e1m1_512 is a drift band."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "pim_tpu", "render", "bench_gate_bands.json")
+    if not _os.path.exists(path):
+        return "uncalibrated"
+    with open(path) as f:
+        bands = _json.load(f)
+    band = bands.get(tag)
+    if band is None:
+        return "uncalibrated"
+    lo = band["mean"] - band["half"]
+    hi = band["mean"] + band["half"]
+    ok = lo <= img_mean <= hi
+    status = "ok" if ok else (
+        f"FAIL mean={img_mean:.5f} outside [{lo:.5f}, {hi:.5f}]")
+    print(f"# gate[{tag}] mean={img_mean:.5f} band=[{lo:.5f}, {hi:.5f}] "
+          f"({band['kind']}): {'ok' if ok else 'FAIL'}",
+          file=__import__("sys").stderr)
+    return status
 
 
 def _bench_cornell():
@@ -96,8 +129,8 @@ def _bench_cornell():
             (jnp.zeros((n, 3), jnp.float32), jnp.float32(0.0)))
         return acc * (1.0 / SPP_PER_STEP), rays
 
-    mrays, step_s = _measure(step, arrays, lights, ca)
-    return mrays, step_s
+    mrays, step_s, img_mean = _measure(step, arrays, lights, ca)
+    return mrays, step_s, img_mean
 
 
 def _bench_e1m1():
@@ -147,18 +180,21 @@ def _bench_e1m1():
                             jnp.float32(1 / 60))
         return res.color, res.rays_traced + 0.0 * exp.exposure
 
-    mrays, step_s = _measure(step, arrays, lights, ca)
+    mrays, step_s, img_mean = _measure(step, arrays, lights, ca)
     tri_count = meta.tri_count
-    return mrays, step_s, tri_count, meta.backend
+    return mrays, step_s, tri_count, meta.backend, img_mean
 
 
 def main() -> None:
     from pim_tpu.core.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    cornell_mrays, cornell_step = _bench_cornell()
+    cornell_mrays, cornell_step, cornell_mean = _bench_cornell()
+    gate_c = _check_gate("cornell512", cornell_mean)
+    gates = {"cornell512": gate_c}
     try:
-        e1m1_mrays, e1m1_step, e1m1_tris, e1m1_backend = _bench_e1m1()
+        e1m1_mrays, e1m1_step, e1m1_tris, e1m1_backend, e1m1_mean = _bench_e1m1()
+        gates["e1m1_512"] = _check_gate("e1m1_512", e1m1_mean)
         extra = {
             "e1m1_mrays_per_s": round(e1m1_mrays, 2),
             "e1m1_step_ms": round(e1m1_step * 1e3, 1),
@@ -167,6 +203,8 @@ def main() -> None:
         }
     except Exception as ex:  # the headline metric must still report
         extra = {"e1m1_error": repr(ex)[:200]}
+    extra["gate"] = ("ok" if all(g == "ok" for g in gates.values())
+                     else {k: v for k, v in gates.items()})
 
     print(
         json.dumps(
@@ -179,6 +217,8 @@ def main() -> None:
             }
         )
     )
+    if any(str(g).startswith("FAIL") for g in gates.values()):
+        raise SystemExit(1)  # a broken render must not publish a number
 
 
 if __name__ == "__main__":
