@@ -299,10 +299,18 @@ def pack_lightmaps(positions: np.ndarray, normals: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(0,),
+                    static_argnames=("max_bounces", "texel_offset",
+                                     "texel_count"))
 def bake_step(meta: SceneMeta, arrays: SceneArrays, lights: LightState,
-              pack: LmPack, frame: int, max_bounces: int = 4,
+              pack: LmPack, frame, max_bounces: int = 4,
               texel_offset: int = 0, texel_count: Optional[int] = None):
     """One progressive bake pass over a texel shard (ref BakeFn :1125-1201).
+    Jitted (meta/shard bounds static): repeated bake passes reuse one
+    compilation per (shape, offset) instead of retracing eagerly.
 
     Per live texel: jitter the origin inside the texel footprint, sample a
     uniform hemisphere direction about the embedded normal, trace, and fold

@@ -72,6 +72,7 @@ def _restore_cvars():
     cv.cv_pt_max_bounces.set(10)
 
 
+@pytest.mark.slow
 def test_clean_scene_debug_quiet():
     """The guard itself must not cry wolf: a clean render under pt_debug
     finishes and stays finite."""
@@ -97,6 +98,7 @@ def test_nan_texel_silently_poisons_without_debug():
     assert not np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_degenerate_triangle_shades_cleanly():
     for debug in (False, True):
         rs = _fresh_rs(debug=debug)
@@ -108,6 +110,7 @@ def test_degenerate_triangle_shades_cleanly():
         assert img.max() > 0.0
 
 
+@pytest.mark.slow
 def test_zero_area_emissive_shades_cleanly():
     for debug in (False, True):
         rs = _fresh_rs(debug=debug)

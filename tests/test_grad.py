@@ -136,6 +136,7 @@ def test_grad_albedo(cornell_setup):
     assert abs(ad) > 1e-6, "albedo gradient must be nonzero"
 
 
+@pytest.mark.slow
 def test_grad_roughness(cornell_setup):
     _, params, loss, args = cornell_setup
     v = _zero_like(params)
@@ -148,6 +149,7 @@ def test_grad_roughness(cornell_setup):
     assert abs(ad) > 1e-8, "roughness gradient must be nonzero"
 
 
+@pytest.mark.slow
 def test_grad_emission(cornell_setup):
     _, params, loss, args = cornell_setup
     v = _zero_like(params)
@@ -157,6 +159,7 @@ def test_grad_emission(cornell_setup):
     assert abs(ad) > 1e-6, "emission gradient must be nonzero"
 
 
+@pytest.mark.slow
 def test_grad_camera(cornell_setup):
     _, params, loss, args = cornell_setup
     v = _zero_like(params)
@@ -166,6 +169,7 @@ def test_grad_camera(cornell_setup):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_grad_sun_dir(sky_setup):
     params, loss, args = sky_setup
     v = _zero_like(params)
@@ -174,6 +178,7 @@ def test_grad_sun_dir(sky_setup):
     assert abs(ad) > 1e-8, "sun direction gradient must be nonzero"
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_grad_sun_luminance(sky_setup):
     params, loss, args = sky_setup

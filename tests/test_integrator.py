@@ -81,6 +81,7 @@ def test_progressive_convergence(cornell):
     assert var_mean4 < var_single / 2.0
 
 
+@pytest.mark.slow
 def test_compaction_bit_identical(cornell):
     """Lane compaction is a pure permutation: per-pixel output must match
     with compact on/off (each lane's RNG stream travels with it).  ULP

@@ -51,15 +51,24 @@ def test_dead_lanes_sort_last():
     assert np.all(tf_sorted[:-n_dead] > 0.0)
 
 
-def test_keys_group_by_octant_and_cell():
+def test_keys_group_by_dirbin_and_cell():
+    from pim_tpu.render.raysort import DIR_BINS, _dir_bin
+
     ro, rd = _rays(2048, 5)
     keys = np.asarray(sort_rays_key(_spec(), ro, rd, 100.0))
     perm, _ = sort_perm(jnp.asarray(keys))
     ks = keys[np.asarray(perm)]
     assert np.all(np.diff(ks) >= 0)
-    # octant is the low 3 bits of the live keys
-    oct_ = np.asarray((rd.x < 0)) * 4 + np.asarray((rd.y < 0)) * 2 + np.asarray(rd.z < 0)
-    np.testing.assert_array_equal(keys % 8, oct_.astype(keys.dtype))
+    # direction bin is the low mod-DIR_BINS part of the live keys (r5:
+    # 6 cube faces x 4x4 sub-bins replaced the 3-bit octant)
+    bins = np.asarray(_dir_bin(rd))
+    assert bins.min() >= 0 and bins.max() < DIR_BINS
+    np.testing.assert_array_equal(keys % DIR_BINS, bins.astype(keys.dtype))
+    # the face (bin // 16) agrees with the dominant axis + sign
+    rdx, rdy, rdz = np.asarray(rd.x), np.asarray(rd.y), np.asarray(rd.z)
+    dom = np.argmax(np.abs(np.stack([rdx, rdy, rdz])), axis=0)
+    sgn = np.stack([rdx, rdy, rdz])[dom, np.arange(rdx.size)] < 0
+    np.testing.assert_array_equal(bins // 16, dom * 2 + sgn)
 
 
 def test_unsort_rows_int_payloads():
