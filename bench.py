@@ -44,8 +44,8 @@ def _measure(step, arrays, lights, ca, iters=ITERS, warmup=WARMUP):
     import jax.numpy as jnp
 
     for i in range(warmup):
-        color, rays = step(arrays, lights, ca, jnp.uint32(i))
-    color.block_until_ready()
+        mean, rays = step(arrays, lights, ca, jnp.uint32(i))
+    mean.block_until_ready()
 
     # dispatch all iterations asynchronously and sync ONCE — a per-step
     # float(rays) sync would serialize host round-trips into the device
@@ -54,10 +54,10 @@ def _measure(step, arrays, lights, ca, iters=ITERS, warmup=WARMUP):
     mean_handles = []
     t0 = time.perf_counter()
     for i in range(iters):
-        color, rays = step(arrays, lights, ca, jnp.uint32(warmup + i))
+        mean, rays = step(arrays, lights, ca, jnp.uint32(warmup + i))
         ray_handles.append(rays)
-        mean_handles.append(jnp.mean(color))
-    color.block_until_ready()
+        mean_handles.append(mean)
+    jax.block_until_ready((ray_handles, mean_handles))
     elapsed = time.perf_counter() - t0
     total_rays = sum(float(r) for r in ray_handles)
     img_mean = sum(float(m) for m in mean_handles) / iters
@@ -127,7 +127,10 @@ def _bench_cornell():
         acc, rays = jax.lax.fori_loop(
             0, SPP_PER_STEP, one,
             (jnp.zeros((n, 3), jnp.float32), jnp.float32(0.0)))
-        return acc * (1.0 / SPP_PER_STEP), rays
+        img = acc * (1.0 / SPP_PER_STEP)
+        # the per-step image mean rides the SAME launch (an out-of-jit
+        # jnp.mean cost one extra ~26 ms tunnel dispatch per step, r5)
+        return jnp.mean(img), rays
 
     mrays, step_s, img_mean = _measure(step, arrays, lights, ca)
     return mrays, step_s, img_mean
@@ -178,7 +181,7 @@ def _bench_e1m1():
         res = trace_rays(meta, arrays, lights, ro, rd, state, MAX_BOUNCES)
         exp = exposure_pass(res.color, exp_params, make_exposure_state(),
                             jnp.float32(1 / 60))
-        return res.color, res.rays_traced + 0.0 * exp.exposure
+        return jnp.mean(res.color), res.rays_traced + 0.0 * exp.exposure
 
     mrays, step_s, img_mean = _measure(step, arrays, lights, ca)
     tri_count = meta.tri_count
