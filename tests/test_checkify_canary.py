@@ -42,7 +42,7 @@ def _fresh_rs(debug: bool) -> RenderSystem:
     cv.cv_pt_denoise.set(False)
     cv.cv_pt_debug.set(bool(debug))
     cv.cv_pt_spp.set(1)
-    cv.cv_pt_max_bounces.set(4)
+    cv.cv_pt_max_bounces.set(2)
     rs = RenderSystem(width=RES, height=RES)
     rs.entities, rs.pool = build_cornell_box("boxes")
     rs.camera.reset()

@@ -96,10 +96,13 @@ def test_cluster_backend_sorted_matches_unsorted():
     ents, pool = build_cornell_box("boxes")
     ro, rd = _rays(128, 11)
     with pltpu.force_tpu_interpret_mode():
-        # the light-grid bake inside build_scene traces through the
-        # cluster kernels too — keep it in interpret mode on CPU
+        # coarse light grid: the in-build visibility bake traces through
+        # the interpret-mode cluster kernels too, and at the default
+        # 1.5 m cells it dominated this test (26 s); the grid content is
+        # irrelevant to the sorted-vs-unsorted hit comparison
         meta0, arrays, lights = build_scene(ents, pool, backend="cluster",
-                                            sort_rays=False)
+                                            sort_rays=False,
+                                            cells_per_meter=0.12)
         meta1 = dataclasses.replace(meta0, sort_rays=True)
         h0 = scene_intersect(meta0, arrays, ro, rd, 0.0, 100.0)
         h1 = scene_intersect(meta1, arrays, ro, rd, 0.0, 100.0)
