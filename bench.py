@@ -36,7 +36,8 @@ ITERS = 10
 # latency (PERF.md: wall 43 ms vs device 17.8).  Batching spp inside one
 # jit call (a standard progressive multi-spp frame) amortizes it; radiance
 # is the mean of independent 1-spp traces with distinct sample indices.
-SPP_PER_STEP = 4
+# (spp sweep r5: 4 -> 18.7, 8 -> 18.4, 16 -> 18.2 ms/sample)
+SPP_PER_STEP = 16
 
 
 def _measure(step, arrays, lights, ca, iters=ITERS, warmup=WARMUP):
